@@ -1,0 +1,8 @@
+from . import batch
+from . import coords
+from . import random
+from . import reduction
+from . import mesh
+from .batch import *  # noqa: F401,F403
+from .coords import *  # noqa: F401,F403
+from .reduction import *  # noqa: F401,F403

@@ -1,0 +1,294 @@
+"""DIB-R soft silhouette and full rasterization pipeline.
+
+TPU-native re-design of the reference
+(``kaolin/render/mesh/dibr.py:75-209``, CUDA kernels
+``kaolin/csrc/render/mesh/dibr_soft_mask_cuda.cu``).
+
+The CUDA forward scans faces sequentially per pixel, recording at most
+``knum`` faces whose enlarged bbox contains the pixel — an order-dependent
+truncation. Key observation making this parallelizable: a face is recorded
+iff its bbox hits AND the number of bbox-hits among earlier faces is
+< ``knum`` (saturated pixels stop counting, so the running recorded count
+equals ``min(#bbox_hits_before, knum)``). The forward is then a
+``lax.scan`` over face chunks carrying (hit count, running product of
+(1 - p)); the backward recomputes per-face contributions chunk-by-chunk and
+reduces over pixels — deterministic, no atomics, nothing stored per
+(pixel, k)-slot.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .rasterization import rasterize, _pixel_coords
+
+__all__ = ['dibr_soft_mask', 'dibr_rasterization']
+
+_EPS = 1e-7  # matches dibr_soft_mask_cuda.cu:23
+
+
+def _face_distances(px, py, img):
+    """Squared distances from pixels to a face's 3 edges and 3 vertices.
+
+    ``img``: (..., 6) scaled image verts; returns (dissquare, edgeid) with
+    edgeid in [0, 6): 0-2 edge-perpendicular, 3-5 vertex. Matches
+    ``dibr_soft_mask_cuda.cu:100-159`` (including the 4m²-style "bad
+    triangle" sentinel replaced by the caller's ``bad_value``).
+    """
+    dists = []
+    for i in range(3):
+        x1 = img[..., i * 2]
+        y1 = img[..., i * 2 + 1]
+        j = (i + 1) % 3
+        x2 = img[..., j * 2]
+        y2 = img[..., j * 2 + 1]
+        A = y2 - y1
+        B = x1 - x2
+        C = x2 * y1 - x1 * y2
+        up = A * px + B * py + C
+        down = A * A + B * B
+        x3 = (B * B * px - A * B * py - A * C) / (down + _EPS)
+        y3 = (A * A * py - A * B * px - B * C) / (down + _EPS)
+        direct = (x3 - x1) * (x3 - x2) + (y3 - y1) * (y3 - y2)
+        perp = up * up / (down + _EPS)
+        dists.append((direct, perp))
+    return dists
+
+
+def _min6(px, py, img, multiplier):
+    """Min over the 6 distance types; first index wins ties
+    (``dibr_soft_mask_cuda.cu:151-159``)."""
+    bad = 4. * multiplier * multiplier
+    edge = _face_distances(px, py, img)
+    pdis = []
+    for direct, perp in edge:
+        pdis.append(jnp.where(direct > 0, bad, perp))
+    for i in range(3):
+        x1 = img[..., i * 2]
+        y1 = img[..., i * 2 + 1]
+        pdis.append((px - x1) ** 2 + (py - y1) ** 2)
+    stacked = jnp.stack(pdis, axis=0)          # (6, ...)
+    dissquare = jnp.min(stacked, axis=0)
+    edgeid = jnp.argmin(stacked, axis=0).astype(jnp.int32)
+    return dissquare, edgeid
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _dibr_soft_mask(face_vertices_image, selected_face_idx, sigmainv, boxlen,
+                    knum, multiplier):
+    soft_mask, _ = _dibr_soft_mask_fwd(face_vertices_image, selected_face_idx,
+                                       sigmainv, boxlen, knum, multiplier)
+    return soft_mask
+
+
+def _soft_mask_forward(img_scaled, bboxes, selected_face_idx, sigmainv, knum,
+                       multiplier, chunk=8):
+    B, F, _ = img_scaled.shape
+    _, H, W = selected_face_idx.shape
+    dtype = img_scaled.dtype
+    x0, y0 = _pixel_coords(H, W, multiplier, dtype)
+    px = x0[None, :]
+    py = y0[:, None]
+
+    pad = (-F) % chunk
+    img_flat = img_scaled
+    if pad:
+        img_flat = jnp.pad(img_flat, ((0, 0), (0, pad), (0, 0)))
+        bboxes = jnp.pad(bboxes, ((0, 0), (0, pad), (0, 0)),
+                         constant_values=jnp.inf)
+    num_chunks = (F + pad) // chunk
+
+    def one_batch(img, bbox, face_idx):
+        uncovered = face_idx < 0
+        img_c = img.reshape(num_chunks, chunk, 6)
+        bbox_c = bbox.reshape(num_chunks, chunk, 4)
+
+        def body(carry, inp):
+            count, prod = carry
+            img_k, bbox_k = inp
+            pxb = px[None]
+            pyb = py[None]
+            hit = ((pxb >= bbox_k[:, 0, None, None])
+                   & (pxb < bbox_k[:, 2, None, None])
+                   & (pyb >= bbox_k[:, 1, None, None])
+                   & (pyb < bbox_k[:, 3, None, None])
+                   & uncovered[None])
+            hit_i = hit.astype(jnp.int32)
+            cum_before = count[None] + jnp.cumsum(hit_i, axis=0, dtype=jnp.int32) - hit_i
+            recorded = hit & (cum_before < knum)
+            dissquare, _ = _min6(pxb, pyb, img_k[:, None, None, :], multiplier)
+            z = sigmainv * dissquare / multiplier / multiplier
+            prob = jnp.exp(-z)
+            prod_k = jnp.prod(jnp.where(recorded, 1. - prob, 1.), axis=0)
+            return (count + jnp.sum(hit_i, axis=0, dtype=jnp.int32), prod * prod_k), None
+
+        init = (jnp.zeros((H, W), jnp.int32), jnp.ones((H, W), dtype))
+        (_, prod), _ = jax.lax.scan(body, init, (img_c, bbox_c))
+        return jnp.where(uncovered, 1. - prod, jnp.asarray(1.0, dtype))
+
+    return jax.vmap(one_batch)(img_flat, bboxes, selected_face_idx)
+
+
+def _scaled_inputs(face_vertices_image, boxlen, multiplier):
+    img_scaled = face_vertices_image * multiplier
+    pmin = jnp.min(img_scaled, axis=-2)
+    pmax = jnp.max(img_scaled, axis=-2)
+    bboxes = jnp.concatenate([pmin - boxlen * multiplier,
+                              pmax + boxlen * multiplier], axis=-1)
+    B, F = img_scaled.shape[:2]
+    return img_scaled.reshape(B, F, 6), bboxes
+
+
+def _dibr_soft_mask_fwd(face_vertices_image, selected_face_idx, sigmainv,
+                        boxlen, knum, multiplier):
+    img_scaled, bboxes = _scaled_inputs(face_vertices_image, boxlen,
+                                        multiplier)
+    soft_mask = _soft_mask_forward(img_scaled, bboxes, selected_face_idx,
+                                   sigmainv, knum, multiplier)
+    return soft_mask, (face_vertices_image, selected_face_idx, soft_mask)
+
+
+def _dibr_soft_mask_bwd(sigmainv, boxlen, knum, multiplier, residuals,
+                        grad_soft_mask, chunk=8):
+    """Backward: recompute recorded faces chunk-by-chunk; per-face grads
+    reduce over pixels (``dibr_soft_mask_cuda.cu:231-353``)."""
+    face_vertices_image, selected_face_idx, soft_mask = residuals
+    B, F, _, _ = face_vertices_image.shape
+    _, H, W = selected_face_idx.shape
+    dtype = face_vertices_image.dtype
+    img_scaled, bboxes = _scaled_inputs(face_vertices_image, boxlen,
+                                        multiplier)
+    x0, y0 = _pixel_coords(H, W, multiplier, dtype)
+    px = x0[None, :]
+    py = y0[:, None]
+
+    pad = (-F) % chunk
+    img_flat = img_scaled
+    if pad:
+        img_flat = jnp.pad(img_flat, ((0, 0), (0, pad), (0, 0)))
+        bboxes = jnp.pad(bboxes, ((0, 0), (0, pad), (0, 0)),
+                         constant_values=jnp.inf)
+    num_chunks = (F + pad) // chunk
+
+    def one_batch(img, bbox, face_idx, allprob, dLdp):
+        uncovered = face_idx < 0
+        dLdp = jnp.where(uncovered, dLdp, 0.)
+        img_c = img.reshape(num_chunks, chunk, 6)
+        bbox_c = bbox.reshape(num_chunks, chunk, 4)
+
+        def body(count, inp):
+            img_k, bbox_k = inp
+            pxb = px[None]
+            pyb = py[None]
+            hit = ((pxb >= bbox_k[:, 0, None, None])
+                   & (pxb < bbox_k[:, 2, None, None])
+                   & (pyb >= bbox_k[:, 1, None, None])
+                   & (pyb < bbox_k[:, 3, None, None])
+                   & uncovered[None])
+            hit_i = hit.astype(jnp.int32)
+            cum_before = count[None] + jnp.cumsum(hit_i, axis=0, dtype=jnp.int32) - hit_i
+            recorded = hit & (cum_before < knum)
+
+            imgb = img_k[:, None, None, :]
+            dissquare, edgeid = _min6(pxb, pyb, imgb, multiplier)
+            z = sigmainv * dissquare / multiplier / multiplier
+            prob = jnp.exp(-z)
+            dLdz = (-1. * sigmainv * dLdp[None] * (1. - allprob[None])
+                    / (1. - prob + _EPS) * prob)
+            dLdz = jnp.where(recorded, dLdz, 0.)
+
+            # grads to the 6 vertex coords of each chunk face, (C, 6)
+            grad_img_k = jnp.zeros((img_k.shape[0], 6), dtype)
+            # vertex-distance cases: edgeid == 3 + v
+            for v in range(3):
+                x1 = imgb[..., v * 2]
+                y1 = imgb[..., v * 2 + 1]
+                m_v = jnp.where(edgeid == 3 + v, dLdz, 0.)
+                gx = jnp.sum(m_v * 2. * (x1 - pxb), axis=(1, 2)) / multiplier
+                gy = jnp.sum(m_v * 2. * (y1 - pyb), axis=(1, 2)) / multiplier
+                grad_img_k = grad_img_k.at[:, v * 2].add(gx)
+                grad_img_k = grad_img_k.at[:, v * 2 + 1].add(gy)
+            # perpendicular cases: edgeid == e, vertices e and (e+1)%3
+            for e in range(3):
+                x1 = imgb[..., e * 2]
+                y1 = imgb[..., e * 2 + 1]
+                j = (e + 1) % 3
+                x2 = imgb[..., j * 2]
+                y2 = imgb[..., j * 2 + 1]
+                A = y2 - y1
+                B_ = x1 - x2
+                C_ = x2 * y1 - x1 * y2
+                up = A * pxb + B_ * pyb + C_
+                down = A * A + B_ * B_
+                dsq = up * up / (down + _EPS)
+                dzdA = 2. * (pxb * up - dsq * A) / (down + _EPS)
+                dzdB = 2. * (pyb * up - dsq * B_) / (down + _EPS)
+                dzdC = 2. * up / (down + _EPS)
+                m_e = jnp.where(edgeid == e, dLdz, 0.)
+                g1x = jnp.sum(m_e * (dzdB - y2 * dzdC), axis=(1, 2)) / multiplier
+                g1y = jnp.sum(m_e * (x2 * dzdC - dzdA), axis=(1, 2)) / multiplier
+                g2x = jnp.sum(m_e * (y1 * dzdC - dzdB), axis=(1, 2)) / multiplier
+                g2y = jnp.sum(m_e * (dzdA - x1 * dzdC), axis=(1, 2)) / multiplier
+                grad_img_k = grad_img_k.at[:, e * 2].add(g1x)
+                grad_img_k = grad_img_k.at[:, e * 2 + 1].add(g1y)
+                grad_img_k = grad_img_k.at[:, j * 2].add(g2x)
+                grad_img_k = grad_img_k.at[:, j * 2 + 1].add(g2y)
+
+            return count + jnp.sum(hit_i, axis=0, dtype=jnp.int32), grad_img_k
+
+        init = jnp.zeros((H, W), jnp.int32)
+        _, grads = jax.lax.scan(body, init, (img_c, bbox_c))
+        return grads.reshape(-1, 6)[:F]
+
+    grad_img = jax.vmap(one_batch)(img_flat, bboxes, selected_face_idx,
+                                   soft_mask, grad_soft_mask)
+    return (grad_img.reshape(B, F, 3, 2), None)
+
+
+_dibr_soft_mask.defvjp(_dibr_soft_mask_fwd, _dibr_soft_mask_bwd)
+
+
+def dibr_soft_mask(face_vertices_image, selected_face_idx, sigmainv=7000,
+                   boxlen=0.02, knum=30, multiplier=1000.):
+    r"""Soft silhouette mask for DIB-R silhouette losses.
+
+    Behavior matches ``kaolin.render.mesh.dibr_soft_mask``
+    (``kaolin/render/mesh/dibr.py:75``): per uncovered pixel, the first
+    ``knum`` faces (in face order) whose bbox enlarged by ``boxlen``
+    contains the pixel contribute ``p = exp(-sigmainv * d^2 / m^2)`` with
+    ``d^2`` the min of 6 squared pixel-face distances; the mask is
+    ``1 - prod(1 - p)``. Covered pixels are 1.
+
+    Args:
+        face_vertices_image: (B, F, 3, 2) image-plane verts in [-1, 1].
+        selected_face_idx: (B, H, W) int, from :func:`rasterize`.
+        sigmainv, boxlen, knum, multiplier: see reference docstring.
+
+    Returns:
+        (B, H, W) soft mask.
+    """
+    return _dibr_soft_mask(face_vertices_image, selected_face_idx,
+                           float(sigmainv), float(boxlen), int(knum),
+                           float(multiplier))
+
+
+def dibr_rasterization(height, width, face_vertices_z, face_vertices_image,
+                       face_features, face_normals_z, sigmainv=7000,
+                       boxlen=0.02, knum=30, multiplier=None, eps=None,
+                       rast_backend='auto'):
+    r"""Full DIB-R pipeline: rasterize (with normal-z face culling) plus the
+    soft silhouette mask.
+
+    Reference: ``kaolin/render/mesh/dibr.py:119``.
+
+    Returns:
+        (interpolated_features, soft_mask, face_idx).
+    """
+    interpolated_features, face_idx = rasterize(
+        height, width, face_vertices_z, face_vertices_image, face_features,
+        face_normals_z >= 0., multiplier, eps, rast_backend)
+    _multiplier = 1000. if multiplier is None else multiplier
+    soft_mask = dibr_soft_mask(face_vertices_image, face_idx, sigmainv,
+                               boxlen, knum, _multiplier)
+    return interpolated_features, soft_mask, face_idx

@@ -1,0 +1,63 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from kaolin_tpu.ops import batch as kb
+from kaolin_tpu.ops.reduction import packed_simple_sum
+
+
+@pytest.fixture
+def tensor_list():
+    rng = np.random.default_rng(0)
+    return [jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+            for n in (2, 5, 3)]
+
+
+def test_list_to_packed_roundtrip(tensor_list):
+    packed, spt = kb.list_to_packed(tensor_list)
+    assert packed.shape == (10, 3)
+    assert spt.tolist() == [[2], [5], [3]]
+    out = kb.packed_to_list(packed, spt)
+    for a, b in zip(out, tensor_list):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_list_to_padded_roundtrip(tensor_list):
+    padded, spt = kb.list_to_padded(tensor_list, padding_value=-1.)
+    assert padded.shape == (3, 5, 3)
+    assert np.asarray(padded)[0, 2:].tolist() == [[-1.] * 3] * 3
+    out = kb.padded_to_list(padded, spt)
+    for a, b in zip(out, tensor_list):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_packed_padded_conversions(tensor_list):
+    packed, spt = kb.list_to_packed(tensor_list)
+    padded = kb.packed_to_padded(packed, spt)
+    packed2 = kb.padded_to_packed(padded, spt)
+    np.testing.assert_array_equal(np.asarray(packed), np.asarray(packed2))
+
+
+def test_get_first_idx():
+    assert kb.get_first_idx(np.array([2, 3, 5])).tolist() == [0, 2, 5, 10]
+
+
+def test_tile_to_packed():
+    out = kb.tile_to_packed(jnp.asarray([0., 6., 7.]), np.array([2, 2, 3]))
+    assert np.asarray(out).ravel().tolist() == [0., 0., 6., 6., 7., 7., 7.]
+
+
+def test_packed_simple_sum(tensor_list):
+    packed, spt = kb.list_to_packed(tensor_list)
+    numel = spt[:, 0]
+    out = packed_simple_sum(packed, numel)
+    expected = [float(np.asarray(t).sum()) for t in tensor_list]
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5)
+
+
+def test_fill_max_shape():
+    spt = np.array([[2, 3], [4, 1]])
+    np.testing.assert_array_equal(kb.fill_max_shape(spt), [4, 3])
+    np.testing.assert_array_equal(kb.fill_max_shape(spt, [-1, 7]), [4, 7])
+    with pytest.raises(ValueError):
+        kb.fill_max_shape(spt, [3, 3])
