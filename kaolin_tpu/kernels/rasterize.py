@@ -1,18 +1,31 @@
 """Pallas TPU kernel for the z-buffer face-selection pass of ``rasterize``.
 
 TPU-native re-design of the reference CUDA rasterizer
-(``kaolin/csrc/render/mesh/rasterization_cuda.cu:44-192``): the image is
-tiled into VPU-aligned (TILE_H, TILE_W) pixel blocks (one grid program per
-block per batch item); all per-face data (z, image-space verts, bboxes) for
-the batch item is staged in VMEM, and the kernel streams faces in chunks of
-8 (one sublane per face), vectorizing the edge-function / z-max update over
-the whole pixel tile. A chunk whose bboxes don't intersect the tile is
-skipped entirely (the VPU analogue of the CUDA per-pixel bbox rejection).
+(``kaolin/csrc/render/mesh/rasterization_cuda.cu:44-192``).
 
-The kernel only selects the winning face (max interpolated z, first face on
-ties — matching the sequential CUDA scan order) and its depth; barycentric
-weights and feature interpolation run as fused XLA epilogue ops outside
-(see ``kaolin_tpu/render/mesh/rasterization.py``).
+Design (v2, after profiling): per-chunk *scalar branching* on vector data
+(load bbox -> ``any`` -> ``@pl.when``) costs ~2us per chunk on TPU (VPU/
+scalar-unit sync), so pruning decisions are hoisted out of the kernel
+entirely:
+
+1. XLA prepass sorts faces by bbox ymax (descending). For each 8-row pixel
+   band, the faces that can overlap it form a near-tight index range
+   [start, end): ``end`` from searchsorted on the sorted ymax, ``start``
+   from searchsorted on the running minimum of ymin (a monotone
+   conservative bound). Culled faces (empty bbox, ymax=-inf) sort last and
+   fall outside every range.
+2. The kernel grid is (batch, H/8 row bands); the per-band chunk range
+   arrives via scalar prefetch (SMEM), and the kernel runs an unconditional
+   vectorized loop over just those chunks: 8 faces per step (sublanes)
+   against the full (8, W) pixel band (lanes).
+
+The z-test carries the ORIGINAL face index and breaks z-ties toward the
+lowest original index, so results are bit-identical to the sequential CUDA
+scan order (``rasterization_cuda.cu:162-169``) regardless of the sort.
+
+The kernel only selects the winning face and its depth; barycentric weights
+and feature interpolation run as fused XLA epilogue ops outside (see
+``kaolin_tpu/render/mesh/rasterization.py``).
 """
 
 import functools
@@ -25,103 +38,127 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ['rasterize_select_pallas']
 
 FACE_CHUNK = 8
+TILE_H = 8
 
 
-def _rasterize_kernel(z_ref, img_ref, bbox_ref, zbuf_ref, idx_ref, *,
-                      height, width, num_faces, multiplier, eps,
-                      tile_h, tile_w):
-    i = pl.program_id(1)
-    j = pl.program_id(2)
+def _band_face_ranges(bboxes_sorted, height, multiplier, row_start,
+                      total_height):
+    """Per-8-row-band [start, end) face index ranges (conservative).
 
-    row = (i * tile_h
-           + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0))
-    col = (j * tile_w
-           + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1))
+    ``bboxes_sorted``: (B, F, 4) sorted by ymax descending.
+    Returns (start, end): (B, n_bands) int32 arrays.
+    """
+    n_bands = height // TILE_H
+    ymin_s = bboxes_sorted[..., 1]
+    ymax_s = bboxes_sorted[..., 3]
+    run_min_ymin = jax.lax.associative_scan(jnp.minimum, ymin_s, axis=1)
+
+    rows_top = row_start + jnp.arange(n_bands) * TILE_H   # first row of band
+    rows_bot = rows_top + TILE_H - 1                      # last row of band
+    # y0 = m/H*(H-2r-1), decreasing in r (rasterization_cuda.cu:86)
+    H = total_height
+    band_ymax = (multiplier / H) * (H - 2. * rows_top - 1.)
+    band_ymin = (multiplier / H) * (H - 2. * rows_bot - 1.)
+
+    def one(ymax_f, runmin_f):
+        # end: first idx with ymax < band_ymin  (sorted desc -> use -ymax asc)
+        end = jnp.searchsorted(-ymax_f, -band_ymin, side='left')
+        # start: first idx with running-min-ymin <= band_ymax
+        start = jnp.searchsorted(-runmin_f, -band_ymax, side='left')
+        return start.astype(jnp.int32), end.astype(jnp.int32)
+
+    start, end = jax.vmap(one)(ymax_s, run_min_ymin)
+    start_c = start // FACE_CHUNK
+    end_c = (end + FACE_CHUNK - 1) // FACE_CHUNK
+    return start_c, jnp.maximum(end_c, start_c)
+
+
+def _rasterize_kernel(start_ref, end_ref, roff_ref, z_ref, img_ref,
+                      bbox_ref, ids_ref, zbuf_ref, idx_ref, *, height,
+                      width, total_height, num_faces, multiplier, eps):
+    b = pl.program_id(0)
+    r = pl.program_id(1)
+
+    row = (roff_ref[0] + r * TILE_H
+           + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, width), 0))
+    col = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, width), 1)
     dtype = z_ref.dtype
     # pixel centers, y-up image space, pre-scaled by multiplier
     # (rasterization_cuda.cu:85-86)
+    H = total_height
     x0 = (multiplier / width) * (2 * col + 1 - width).astype(dtype)
-    y0 = (multiplier / height) * (height - 2 * row - 1).astype(dtype)
+    y0 = (multiplier / H) * (H - 2 * row - 1).astype(dtype)
 
-    # tile bounds: x ascending in col, y descending in row
-    tile_xmin = x0[0, 0]
-    tile_xmax = x0[0, tile_w - 1]
-    tile_ymin = y0[tile_h - 1, 0]
-    tile_ymax = y0[0, 0]
-
-    zbuf_ref[...] = jnp.full((1, tile_h, tile_w), -jnp.inf, dtype=dtype)
-    idx_ref[...] = jnp.full((1, tile_h, tile_w), -1, dtype=jnp.int32)
-
-    num_chunks = pl.cdiv(num_faces, FACE_CHUNK)
+    zbuf_ref[...] = jnp.full((1, TILE_H, width), -jnp.inf, dtype=dtype)
+    idx_ref[...] = jnp.full((1, TILE_H, width), 0x7fffffff, dtype=jnp.int32)
 
     def chunk_body(c, _):
         f0 = c * FACE_CHUNK
         bbox = bbox_ref[0, pl.ds(f0, FACE_CHUNK), :]          # (8, 4)
-        xmin = bbox[:, 0]
-        ymin = bbox[:, 1]
-        xmax = bbox[:, 2]
-        ymax = bbox[:, 3]
-        overlap = ((tile_xmax >= xmin) & (tile_xmin < xmax)
-                   & (tile_ymax >= ymin) & (tile_ymin < ymax))
+        img = img_ref[0, pl.ds(f0, FACE_CHUNK), :]            # (8, 6)
+        fz = z_ref[0, pl.ds(f0, FACE_CHUNK), :]               # (8, 3)
+        orig_ids = ids_ref[0, pl.ds(f0, FACE_CHUNK), 0]       # (8,)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (FACE_CHUNK, 1, 1), 0)
+        lane_valid = (f0 + lane) < num_faces
+        face_ids = orig_ids[:, None, None]
 
-        @pl.when(jnp.any(overlap))
-        def _():
-            img = img_ref[0, pl.ds(f0, FACE_CHUNK), :]        # (8, 6)
-            fz = z_ref[0, pl.ds(f0, FACE_CHUNK), :]           # (8, 3)
-            face_ids = f0 + jax.lax.broadcasted_iota(
-                jnp.int32, (FACE_CHUNK, 1, 1), 0)
-            lane_valid = face_ids < num_faces
+        px = x0[None, :, :]
+        py = y0[None, :, :]
+        hit = ((px >= bbox[:, 0][:, None, None])
+               & (px < bbox[:, 2][:, None, None])
+               & (py >= bbox[:, 1][:, None, None])
+               & (py < bbox[:, 3][:, None, None]))
 
-            px = x0[None, :, :]
-            py = y0[None, :, :]
-            hit = ((px >= xmin[:, None, None]) & (px < xmax[:, None, None])
-                   & (py >= ymin[:, None, None]) & (py < ymax[:, None, None]))
+        ax = img[:, 0][:, None, None] - px
+        ay = img[:, 1][:, None, None] - py
+        bx = img[:, 2][:, None, None] - px
+        by = img[:, 3][:, None, None] - py
+        cx = img[:, 4][:, None, None] - px
+        cy = img[:, 5][:, None, None] - py
+        w0 = bx * cy - by * cx
+        w1 = cx * ay - cy * ax
+        w2 = ax * by - ay * bx
+        norm = w0 + w1 + w2
+        norm = norm + jnp.copysign(eps, norm)
+        w0 = w0 / norm
+        w1 = w1 / norm
+        w2 = w2 / norm
+        inside = (w0 >= 0.) & (w1 >= 0.) & (w2 >= 0.)
 
-            ax = img[:, 0][:, None, None] - px
-            ay = img[:, 1][:, None, None] - py
-            bx = img[:, 2][:, None, None] - px
-            by = img[:, 3][:, None, None] - py
-            cx = img[:, 4][:, None, None] - px
-            cy = img[:, 5][:, None, None] - py
-            w0 = bx * cy - by * cx
-            w1 = cx * ay - cy * ax
-            w2 = ax * by - ay * bx
-            norm = w0 + w1 + w2
-            norm = norm + jnp.copysign(eps, norm)
-            w0 = w0 / norm
-            w1 = w1 / norm
-            w2 = w2 / norm
-            inside = (w0 >= 0.) & (w1 >= 0.) & (w2 >= 0.)
+        z0 = (w0 * fz[:, 0][:, None, None]
+              + w1 * fz[:, 1][:, None, None]
+              + w2 * fz[:, 2][:, None, None])
+        z0 = jnp.where(hit & inside & lane_valid, z0, -jnp.inf)
 
-            z0 = (w0 * fz[:, 0][:, None, None]
-                  + w1 * fz[:, 1][:, None, None]
-                  + w2 * fz[:, 2][:, None, None])
-            z0 = jnp.where(hit & inside & lane_valid, z0, -jnp.inf)
+        # first-max over the chunk: max z, ties -> lowest ORIGINAL id
+        zmax = jnp.max(z0, axis=0)                            # (th, w)
+        is_max = (z0 == zmax[None, :, :]) & (zmax[None, :, :] > -jnp.inf)
+        big = jnp.int32(0x7fffffff)
+        cand = jnp.where(is_max, jnp.broadcast_to(face_ids, z0.shape), big)
+        widx = jnp.min(cand, axis=0)
 
-            # first-max reduction over the chunk axis (ties -> lowest index,
-            # matching the CUDA sequential scan)
-            zmax = jnp.max(z0, axis=0)                        # (th, tw)
-            is_max = (z0 == zmax[None, :, :]) & (zmax[None, :, :] > -jnp.inf)
-            big = jnp.int32(0x7fffffff)
-            cand = jnp.where(is_max, jnp.broadcast_to(face_ids, z0.shape), big)
-            widx = jnp.min(cand, axis=0)
-
-            cur_z = zbuf_ref[0, :, :]
-            cur_i = idx_ref[0, :, :]
-            take = zmax > cur_z
-            zbuf_ref[0, :, :] = jnp.where(take, zmax, cur_z)
-            idx_ref[0, :, :] = jnp.where(take, widx, cur_i)
-
+        cur_z = zbuf_ref[0, :, :]
+        cur_i = idx_ref[0, :, :]
+        take = (zmax > cur_z) | ((zmax == cur_z) & (widx < cur_i)
+                                 & (zmax > -jnp.inf))
+        zbuf_ref[0, :, :] = jnp.where(take, zmax, cur_z)
+        idx_ref[0, :, :] = jnp.where(take, widx, cur_i)
         return 0
 
-    jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+    jax.lax.fori_loop(start_ref[b, r], end_ref[b, r], chunk_body, 0)
+
+    # uncovered sentinel 0x7fffffff -> -1
+    final = idx_ref[0, :, :]
+    idx_ref[0, :, :] = jnp.where(final == 0x7fffffff, -1, final)
 
 
-@functools.partial(jax.jit, static_argnames=('height', 'width', 'multiplier',
-                                             'eps', 'tile_h', 'tile_w'))
+@functools.partial(jax.jit, static_argnames=('height', 'width',
+                                             'total_height', 'multiplier',
+                                             'eps', 'interpret'))
 def rasterize_select_pallas(face_vertices_z, face_vertices_image_flat,
-                            face_bboxes, *, height, width, multiplier, eps,
-                            tile_h=8, tile_w=256):
+                            face_bboxes, row_start=0, *, height, width,
+                            total_height=None, multiplier, eps,
+                            interpret=False):
     """Selects the visible face (and its depth) for every pixel.
 
     Args:
@@ -129,45 +166,81 @@ def rasterize_select_pallas(face_vertices_z, face_vertices_image_flat,
         face_vertices_image_flat: (B, F, 6) image-space verts (scaled by
             ``multiplier``), layout (ax, ay, bx, by, cx, cy).
         face_bboxes: (B, F, 4) (xmin, ymin, xmax, ymax), scaled; culled
-            faces must carry an empty bbox (xmin=+inf).
-        height, width: output image size; must be divisible by the tile.
+            faces must carry an empty bbox (xmin=+inf, ymax=-inf).
+        height, width: output image size; height % 8 == 0, width % 128 == 0.
 
     Returns:
-        (zbuf (B, H, W), face_idx (B, H, W) int32, -1 where uncovered).
+        (zbuf (B, H, W), face_idx (B, H, W) int32, -1 where uncovered;
+        indices refer to the ORIGINAL face order).
     """
     B, F, _ = face_vertices_z.shape
-    assert height % tile_h == 0 and width % tile_w == 0, \
-        (height, width, tile_h, tile_w)
-    grid = (B, height // tile_h, width // tile_w)
+    assert height % TILE_H == 0 and width % 128 == 0, (height, width)
+    if total_height is None:
+        total_height = height
+    row_start = jnp.asarray(row_start, jnp.int32)
+
+    # pad the face axis to a FACE_CHUNK multiple with empty bboxes (they
+    # sort last and never pass the bbox hit test)
+    pad = (-F) % FACE_CHUNK
+    if pad:
+        dtype = face_bboxes.dtype
+        empty = jnp.tile(
+            jnp.asarray([jnp.inf, jnp.inf, -jnp.inf, -jnp.inf], dtype),
+            (B, pad, 1))
+        face_bboxes = jnp.concatenate([face_bboxes, empty], axis=1)
+        face_vertices_z = jnp.pad(face_vertices_z,
+                                  ((0, 0), (0, pad), (0, 0)))
+        face_vertices_image_flat = jnp.pad(face_vertices_image_flat,
+                                           ((0, 0), (0, pad), (0, 0)))
+        F = F + pad
+
+    # sort faces by ymax descending; culled faces (ymax=-inf) go last
+    order = jnp.argsort(-face_bboxes[..., 3], axis=1).astype(jnp.int32)
+    fz = jnp.take_along_axis(face_vertices_z, order[..., None], axis=1)
+    img = jnp.take_along_axis(face_vertices_image_flat, order[..., None],
+                              axis=1)
+    bb = jnp.take_along_axis(face_bboxes, order[..., None], axis=1)
+
+    start_c, end_c = _band_face_ranges(bb, height, float(multiplier),
+                                       row_start, total_height)
+
+    grid = (B, height // TILE_H)
     kernel = functools.partial(
-        _rasterize_kernel, height=height, width=width, num_faces=F,
-        multiplier=float(multiplier), eps=float(eps),
-        tile_h=tile_h, tile_w=tile_w)
-    zbuf, idx = pl.pallas_call(
-        kernel,
+        _rasterize_kernel, height=height, width=width,
+        total_height=total_height, num_faces=F,
+        multiplier=float(multiplier), eps=float(eps))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, F, 3), lambda b, i, j: (b, 0, 0),
+            pl.BlockSpec((1, F, 3), lambda b, r, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, F, 6), lambda b, i, j: (b, 0, 0),
+            pl.BlockSpec((1, F, 6), lambda b, r, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, F, 4), lambda b, i, j: (b, 0, 0),
+            pl.BlockSpec((1, F, 4), lambda b, r, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F, 1), lambda b, r, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, tile_h, tile_w), lambda b, i, j: (b, i, j),
+            pl.BlockSpec((1, TILE_H, width), lambda b, r, *_: (b, r, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_h, tile_w), lambda b, i, j: (b, i, j),
+            pl.BlockSpec((1, TILE_H, width), lambda b, r, *_: (b, r, 0),
                          memory_space=pltpu.VMEM),
         ],
+    )
+    zbuf, idx = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, height, width), face_vertices_z.dtype),
             jax.ShapeDtypeStruct((B, height, width), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=B * height * width * F * 2,
-            bytes_accessed=B * (F * 13 * 4 + height * width * 8),
+            flops=B * height * width * 64 * 2,
+            bytes_accessed=B * (F * 14 * 4 + height * width * 8),
             transcendentals=0,
         ),
-    )(face_vertices_z, face_vertices_image_flat, face_bboxes)
+        interpret=interpret,
+    )(start_c, end_c, row_start[None], fz, img, bb, order[..., None])
     return zbuf, idx

@@ -1,1 +1,2 @@
-
+from .mesh import make_mesh, Mesh, P
+from .render import sharded_rasterize, sharded_dibr_rasterization

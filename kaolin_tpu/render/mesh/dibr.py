@@ -74,20 +74,21 @@ def _min6(px, py, img, multiplier):
     return dissquare, edgeid
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def _dibr_soft_mask(face_vertices_image, selected_face_idx, sigmainv, boxlen,
-                    knum, multiplier):
+                    knum, multiplier, total_height, backend, row_start):
     soft_mask, _ = _dibr_soft_mask_fwd(face_vertices_image, selected_face_idx,
-                                       sigmainv, boxlen, knum, multiplier)
+                                       sigmainv, boxlen, knum, multiplier,
+                                       total_height, backend, row_start)
     return soft_mask
 
 
 def _soft_mask_forward(img_scaled, bboxes, selected_face_idx, sigmainv, knum,
-                       multiplier, chunk=8):
+                       multiplier, total_height, row_start, chunk=8):
     B, F, _ = img_scaled.shape
     _, H, W = selected_face_idx.shape
     dtype = img_scaled.dtype
-    x0, y0 = _pixel_coords(H, W, multiplier, dtype)
+    x0, y0 = _pixel_coords(H, W, multiplier, dtype, row_start, total_height)
     px = x0[None, :]
     py = y0[:, None]
 
@@ -141,25 +142,50 @@ def _scaled_inputs(face_vertices_image, boxlen, multiplier):
 
 
 def _dibr_soft_mask_fwd(face_vertices_image, selected_face_idx, sigmainv,
-                        boxlen, knum, multiplier):
+                        boxlen, knum, multiplier, total_height, backend,
+                        row_start):
     img_scaled, bboxes = _scaled_inputs(face_vertices_image, boxlen,
                                         multiplier)
-    soft_mask = _soft_mask_forward(img_scaled, bboxes, selected_face_idx,
-                                   sigmainv, knum, multiplier)
-    return soft_mask, (face_vertices_image, selected_face_idx, soft_mask)
+    if backend in ('pallas', 'pallas_interpret'):
+        from ...kernels.soft_mask import soft_mask_forward_pallas
+        _, H, W = selected_face_idx.shape
+        soft_mask = soft_mask_forward_pallas(
+            img_scaled, bboxes, selected_face_idx, row_start,
+            height=H, width=W, total_height=total_height, knum=int(knum),
+            sigmainv=float(sigmainv), multiplier=float(multiplier),
+            interpret=(backend == 'pallas_interpret'))
+    else:
+        soft_mask = _soft_mask_forward(img_scaled, bboxes, selected_face_idx,
+                                       sigmainv, knum, multiplier,
+                                       total_height, row_start)
+    return soft_mask, (face_vertices_image, selected_face_idx, soft_mask,
+                       row_start)
 
 
-def _dibr_soft_mask_bwd(sigmainv, boxlen, knum, multiplier, residuals,
-                        grad_soft_mask, chunk=8):
+def _dibr_soft_mask_bwd(sigmainv, boxlen, knum, multiplier, total_height,
+                        backend, residuals, grad_soft_mask, chunk=8):
     """Backward: recompute recorded faces chunk-by-chunk; per-face grads
     reduce over pixels (``dibr_soft_mask_cuda.cu:231-353``)."""
-    face_vertices_image, selected_face_idx, soft_mask = residuals
+    face_vertices_image, selected_face_idx, soft_mask, row_start = residuals
+    if backend in ('pallas', 'pallas_interpret'):
+        from ...kernels.soft_mask import soft_mask_backward_pallas
+        B, F = face_vertices_image.shape[:2]
+        _, H, W = selected_face_idx.shape
+        img_scaled, bboxes = _scaled_inputs(face_vertices_image, boxlen,
+                                            multiplier)
+        grad = soft_mask_backward_pallas(
+            img_scaled, bboxes, selected_face_idx, soft_mask,
+            grad_soft_mask, row_start, height=H, width=W,
+            total_height=total_height, knum=int(knum),
+            sigmainv=float(sigmainv), multiplier=float(multiplier),
+            interpret=(backend == 'pallas_interpret'))
+        return (grad.reshape(B, F, 3, 2), None, jnp.zeros((), jnp.float32))
     B, F, _, _ = face_vertices_image.shape
     _, H, W = selected_face_idx.shape
     dtype = face_vertices_image.dtype
     img_scaled, bboxes = _scaled_inputs(face_vertices_image, boxlen,
                                         multiplier)
-    x0, y0 = _pixel_coords(H, W, multiplier, dtype)
+    x0, y0 = _pixel_coords(H, W, multiplier, dtype, row_start, total_height)
     px = x0[None, :]
     py = y0[:, None]
 
@@ -243,14 +269,15 @@ def _dibr_soft_mask_bwd(sigmainv, boxlen, knum, multiplier, residuals,
 
     grad_img = jax.vmap(one_batch)(img_flat, bboxes, selected_face_idx,
                                    soft_mask, grad_soft_mask)
-    return (grad_img.reshape(B, F, 3, 2), None)
+    return (grad_img.reshape(B, F, 3, 2), None, jnp.zeros((), jnp.float32))
 
 
 _dibr_soft_mask.defvjp(_dibr_soft_mask_fwd, _dibr_soft_mask_bwd)
 
 
 def dibr_soft_mask(face_vertices_image, selected_face_idx, sigmainv=7000,
-                   boxlen=0.02, knum=30, multiplier=1000.):
+                   boxlen=0.02, knum=30, multiplier=1000., row_start=0,
+                   total_height=None, backend='auto'):
     r"""Soft silhouette mask for DIB-R silhouette losses.
 
     Behavior matches ``kaolin.render.mesh.dibr_soft_mask``
@@ -268,15 +295,23 @@ def dibr_soft_mask(face_vertices_image, selected_face_idx, sigmainv=7000,
     Returns:
         (B, H, W) soft mask.
     """
+    if total_height is None:
+        total_height = selected_face_idx.shape[1]
+    H, W = selected_face_idx.shape[1:]
+    if backend == 'auto':
+        backend = 'pallas' if (jax.default_backend() == 'tpu'
+                               and H % 8 == 0 and W % 128 == 0) else 'xla'
     return _dibr_soft_mask(face_vertices_image, selected_face_idx,
                            float(sigmainv), float(boxlen), int(knum),
-                           float(multiplier))
+                           float(multiplier), int(total_height), backend,
+                           jnp.asarray(row_start, jnp.float32))
 
 
 def dibr_rasterization(height, width, face_vertices_z, face_vertices_image,
                        face_features, face_normals_z, sigmainv=7000,
                        boxlen=0.02, knum=30, multiplier=None, eps=None,
-                       rast_backend='auto'):
+                       rast_backend='auto', row_start=0, total_height=None,
+                       mask_backend='auto'):
     r"""Full DIB-R pipeline: rasterize (with normal-z face culling) plus the
     soft silhouette mask.
 
@@ -287,8 +322,11 @@ def dibr_rasterization(height, width, face_vertices_z, face_vertices_image,
     """
     interpolated_features, face_idx = rasterize(
         height, width, face_vertices_z, face_vertices_image, face_features,
-        face_normals_z >= 0., multiplier, eps, rast_backend)
+        face_normals_z >= 0., multiplier, eps, rast_backend,
+        row_start=row_start, total_height=total_height)
     _multiplier = 1000. if multiplier is None else multiplier
     soft_mask = dibr_soft_mask(face_vertices_image, face_idx, sigmainv,
-                               boxlen, knum, _multiplier)
+                               boxlen, knum, _multiplier,
+                               row_start=row_start, total_height=total_height,
+                               backend=mask_backend)
     return interpolated_features, soft_mask, face_idx

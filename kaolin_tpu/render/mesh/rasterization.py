@@ -26,16 +26,23 @@ import jax.numpy as jnp
 __all__ = ['rasterize']
 
 
-def _pixel_coords(height, width, multiplier, dtype):
+def _pixel_coords(height, width, multiplier, dtype, row_start=0,
+                  total_height=None):
     """Pixel-center coordinates; y-up image space, scaled by ``multiplier``.
 
     Matches ``rasterization_cuda.cu:85-86``:
     ``x0 = m/W*(2wx+1-W)``, ``y0 = m/H*(H-2hy-1)``.
+
+    ``row_start``/``total_height`` render a horizontal slab of a larger
+    image — the pixel-sharding hook for multi-chip rendering (pixel rows
+    split across the mesh 'pix' axis, SURVEY §2.3).
     """
+    if total_height is None:
+        total_height = height
     wx = jnp.arange(width, dtype=dtype)
-    hy = jnp.arange(height, dtype=dtype)
+    hy = jnp.asarray(row_start, dtype) + jnp.arange(height, dtype=dtype)
     x0 = (multiplier / width) * (2. * wx + 1. - width)
-    y0 = (multiplier / height) * (height - 2. * hy - 1.)
+    y0 = (multiplier / total_height) * (total_height - 2. * hy - 1.)
     return x0, y0
 
 
@@ -60,13 +67,15 @@ def _barycentric(px, py, img, eps):
 
 
 def _select_faces_xla(face_vertices_z, img_flat, bboxes, height, width,
-                      multiplier, eps, chunk=32):
+                      multiplier, eps, row_start=0, total_height=None,
+                      chunk=32):
     """Pure-XLA winner-face selection: scan over face chunks carrying the
     per-pixel (max z, face index) state. Ties keep the lowest face index,
     matching the sequential CUDA scan (``rasterization_cuda.cu:162-169``)."""
     B, F, _ = face_vertices_z.shape
     dtype = face_vertices_z.dtype
-    x0, y0 = _pixel_coords(height, width, multiplier, dtype)
+    x0, y0 = _pixel_coords(height, width, multiplier, dtype,
+                           row_start, total_height)
     px = x0[None, :]                    # (1, W)
     py = y0[:, None]                    # (H, 1)
 
@@ -113,9 +122,13 @@ def _select_faces_xla(face_vertices_z, img_flat, bboxes, height, width,
 
 
 def _rasterize_fwd_impl(height, width, multiplier, eps, backend,
-                        face_vertices_z, face_vertices_image, face_features,
-                        valid_mask):
-    """Forward rasterization; returns (features, face_idx, weights)."""
+                        total_height, face_vertices_z, face_vertices_image,
+                        face_features, valid_mask, row_start):
+    """Forward rasterization; returns (features, face_idx, weights).
+
+    ``row_start`` (traced f32 scalar) and ``total_height`` (static) select
+    a horizontal slab of a ``total_height`` x ``width`` image."""
+    row_start = jnp.asarray(row_start, jnp.int32)
     B, F, _, _ = face_vertices_image.shape
     dtype = face_vertices_image.dtype
     img_scaled = face_vertices_image * multiplier
@@ -129,21 +142,24 @@ def _rasterize_fwd_impl(height, width, multiplier, eps, backend,
         bboxes = jnp.where(valid_mask[..., None] > 0, bboxes,
                            jnp.stack([inf, inf, -inf, -inf])[None, None, :])
 
-    if backend == 'pallas':
+    if backend in ('pallas', 'pallas_interpret'):
         from ...kernels.rasterize import rasterize_select_pallas
-        tile_w = 256 if width % 256 == 0 else 128
         _, face_idx = rasterize_select_pallas(
-            face_vertices_z, img_flat, bboxes, height=height, width=width,
-            multiplier=float(multiplier), eps=float(eps), tile_w=tile_w)
+            face_vertices_z, img_flat, bboxes, row_start,
+            height=height, width=width, total_height=total_height,
+            multiplier=float(multiplier), eps=float(eps),
+            interpret=(backend == 'pallas_interpret'))
     else:
         _, face_idx = _select_faces_xla(
-            face_vertices_z, img_flat, bboxes, height, width, multiplier, eps)
+            face_vertices_z, img_flat, bboxes, height, width, multiplier,
+            eps, row_start, total_height)
 
     # epilogue: recompute the winner's weights (same formula => identical
     # values), interpolate features; uncovered pixels -> 0 / -1
     covered = face_idx >= 0
     safe_idx = jnp.maximum(face_idx, 0)
-    x0, y0 = _pixel_coords(height, width, multiplier, dtype)
+    x0, y0 = _pixel_coords(height, width, multiplier, dtype,
+                           row_start, total_height)
     px = x0[None, None, :]
     py = y0[None, :, None]
     win_img = jnp.take_along_axis(
@@ -163,27 +179,30 @@ def _rasterize_fwd_impl(height, width, multiplier, eps, backend,
     return interpolated, face_idx, weights
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
-def _rasterize(height, width, multiplier, eps, backend,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def _rasterize(height, width, multiplier, eps, backend, total_height,
                face_vertices_z, face_vertices_image, face_features,
-               valid_mask):
+               valid_mask, row_start):
     out = _rasterize_fwd_impl(height, width, multiplier, eps, backend,
-                              face_vertices_z, face_vertices_image,
-                              face_features, valid_mask)
+                              total_height, face_vertices_z,
+                              face_vertices_image, face_features,
+                              valid_mask, row_start)
     return out[0], out[1]
 
 
-def _rasterize_fwd(height, width, multiplier, eps, backend,
+def _rasterize_fwd(height, width, multiplier, eps, backend, total_height,
                    face_vertices_z, face_vertices_image, face_features,
-                   valid_mask):
+                   valid_mask, row_start):
     interpolated, face_idx, weights = _rasterize_fwd_impl(
-        height, width, multiplier, eps, backend, face_vertices_z,
-        face_vertices_image, face_features, valid_mask)
+        height, width, multiplier, eps, backend, total_height,
+        face_vertices_z, face_vertices_image, face_features, valid_mask,
+        row_start)
     residuals = (face_idx, weights, face_vertices_image, face_features)
     return (interpolated, face_idx), residuals
 
 
-def _rasterize_bwd(height, width, multiplier, eps, backend, residuals, grads):
+def _rasterize_bwd(height, width, multiplier, eps, backend, total_height,
+                   residuals, grads):
     """Analytic backward, matching ``rasterization_cuda.cu:239-402``.
 
     Per covered pixel: Cramer-solved closed-form dw/d(6 image verts)
@@ -297,7 +316,8 @@ def _rasterize_bwd(height, width, multiplier, eps, backend, residuals, grads):
     return (jnp.zeros((B, F, 3), dtype),
             grad_img.reshape(B, F, 3, 2),
             grad_feat.reshape(B, F, 3, D),
-            jnp.zeros((B, F), dtype))
+            jnp.zeros((B, F), dtype),
+            jnp.zeros((), jnp.float32))
 
 
 _rasterize.defvjp(_rasterize_fwd, _rasterize_bwd)
@@ -305,7 +325,7 @@ _rasterize.defvjp(_rasterize_fwd, _rasterize_bwd)
 
 def rasterize(height, width, face_vertices_z, face_vertices_image,
               face_features, valid_faces=None, multiplier=None, eps=None,
-              backend='auto'):
+              backend='auto', row_start=0, total_height=None):
     r"""Fully differentiable rasterization of triangle meshes with
     per-vertex-per-face features into feature images.
 
@@ -346,10 +366,12 @@ def rasterize(height, width, face_vertices_z, face_vertices_image,
                               dtype=face_vertices_z.dtype)
     else:
         valid_mask = valid_faces.astype(face_vertices_z.dtype)
+    if total_height is None:
+        total_height = height
     image_features, face_idx = _rasterize(
         height, width, float(multiplier), float(eps), backend,
-        face_vertices_z, face_vertices_image, _face_features,
-        valid_mask)
+        int(total_height), face_vertices_z, face_vertices_image,
+        _face_features, valid_mask, jnp.asarray(row_start, jnp.float32))
     if is_multi:
         outs = []
         cur = 0

@@ -182,3 +182,15 @@ def test_rasterize_grad_finite_difference(simple_inputs):
         np.testing.assert_allclose(ana_g, num_g, rtol=5e-3, atol=1e-5)
         checked += 1
     assert checked >= flat.size * 0.3, f"only {checked}/{flat.size} checked"
+
+
+def test_pallas_interpret_matches_xla(simple_inputs):
+    """The Pallas kernel path (interpret mode on CPU) vs the XLA backend."""
+    fvz, fvi, ff = simple_inputs
+    fvz32, fvi32, ff32 = (x.astype(jnp.float32) for x in (fvz, fvi, ff))
+    feat_x, idx_x = rasterize(16, 128, fvz32, fvi32, ff32, backend='xla')
+    feat_p, idx_p = rasterize(16, 128, fvz32, fvi32, ff32,
+                              backend='pallas_interpret')
+    np.testing.assert_array_equal(np.asarray(idx_x), np.asarray(idx_p))
+    np.testing.assert_allclose(np.asarray(feat_x), np.asarray(feat_p),
+                               rtol=1e-6, atol=1e-6)
