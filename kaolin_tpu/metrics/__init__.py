@@ -1,1 +1,5 @@
+from . import pointcloud
 from . import render
+from . import tetmesh
+from . import trianglemesh
+from . import voxelgrid

@@ -1,5 +1,6 @@
 from . import batch
 from . import coords
+from . import gcn
 from . import random
 from . import reduction
 from . import mesh

@@ -1,0 +1,204 @@
+"""Metrics: sided/chamfer distance, f-score, point_to_mesh_distance,
+tetmesh and voxelgrid metrics — checked against brute-force numpy and the
+reference's documented examples."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from kaolin_tpu.metrics.pointcloud import (sided_distance, chamfer_distance,
+                                           f_score)
+from kaolin_tpu.metrics.trianglemesh import (point_to_mesh_distance,
+                                             uniform_laplacian_smoothing)
+from kaolin_tpu.metrics.tetmesh import tetrahedron_volume, equivolume, amips
+from kaolin_tpu.metrics.voxelgrid import iou
+from kaolin_tpu.ops.mesh import inverse_vertices_offset
+
+
+@pytest.fixture
+def clouds():
+    rng = np.random.default_rng(0)
+    p1 = jnp.asarray(rng.normal(size=(2, 57, 3)))
+    p2 = jnp.asarray(rng.normal(size=(2, 83, 3)))
+    return p1, p2
+
+
+def test_sided_distance_bruteforce(clouds):
+    p1, p2 = clouds
+    dist, idx = sided_distance(p1, p2)
+    d = np.sum((np.asarray(p1)[:, :, None] - np.asarray(p2)[:, None]) ** 2,
+               axis=-1)
+    np.testing.assert_allclose(np.asarray(dist), d.min(-1), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(idx), d.argmin(-1))
+
+
+def test_sided_distance_reference_example():
+    # kaolin/metrics/pointcloud.py:72-84
+    p1 = jnp.asarray([[[5.9336, 4.9742, 8.1047]],
+                      [[4.1939, 3.3612, 9.5407]]], dtype=jnp.float32)
+    p2 = jnp.asarray([[[1.6998, 0.7719, 2.9987],
+                       [0.1812, 8.9342, 10.0285]],
+                      [[10.0184, 0.3928, 5.2545],
+                       [4.2934, 11.2127, 4.5247]]], dtype=jnp.float32)
+    dist, idx = sided_distance(p1, p2)
+    np.testing.assert_allclose(np.asarray(dist), [[52.4727], [61.1077]],
+                               rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(idx), [[1], [0]])
+
+
+def test_chamfer_reference_example():
+    # kaolin/metrics/pointcloud.py:113-124
+    p1 = jnp.asarray([[[8.8977, 4.1709, 1.2839], [8.5640, 7.7767, 9.4214]],
+                      [[0.5431, 6.4495, 11.4914], [3.2126, 8.0865, 3.1018]]],
+                     dtype=jnp.float32)
+    p2 = jnp.asarray([[[6.9340, 6.1152, 3.4435], [0.1032, 9.8181, 11.3350]],
+                      [[11.4006, 2.2154, 7.9589], [4.2586, 1.4133, 7.2606]]],
+                     dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(chamfer_distance(p1, p2)),
+                               [72.5838, 151.0809], rtol=1e-4)
+
+
+def test_f_score_reference_example():
+    # kaolin/metrics/pointcloud.py:160-175
+    p1 = jnp.asarray([[[8.8977, 4.1709, 1.2839], [8.5640, 7.7767, 9.4214]],
+                      [[0.5431, 6.4495, 11.4914], [3.2126, 8.0865, 3.1018]]],
+                     dtype=jnp.float32)
+    p2 = jnp.asarray([[[9.4863, 4.2249, 0.1712], [8.1783, 8.5310, 8.5119]],
+                      [[-0.0020699, 6.4429, 12.3], [3.8386, 8.3585, 4.7662]]],
+                     dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(f_score(p1, p2, radius=1)),
+                               [0., 0.5], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_score(p1, p2, radius=1.5)),
+                               [1., 0.5], atol=1e-5)
+
+
+def test_chamfer_gradients(clouds):
+    p1, p2 = clouds
+
+    def loss(a, b):
+        return jnp.sum(chamfer_distance(a, b))
+
+    g1, g2 = jax.grad(loss, argnums=(0, 1))(p1, p2)
+    eps = 1e-6
+    flat = np.asarray(p1).ravel()
+    k = 17
+    d = np.zeros_like(flat)
+    d[k] = eps
+    fp = loss(jnp.asarray((flat + d).reshape(p1.shape)), p2)
+    fm = loss(jnp.asarray((flat - d).reshape(p1.shape)), p2)
+    np.testing.assert_allclose(float(np.asarray(g1).ravel()[k]),
+                               (float(fp) - float(fm)) / (2 * eps), rtol=1e-4)
+
+
+def test_point_to_mesh_distance_example():
+    # kaolin/metrics/trianglemesh.py:53-67
+    point = jnp.asarray([[[0.5, 0.5, 0.5], [3., 4., 5.]]])
+    face_vertices = jnp.asarray([[[[0., 0., 0.], [0., 1., 0.],
+                                   [0., 0., 1.]]]])
+    dist, idx, dist_type = point_to_mesh_distance(point, face_vertices)
+    np.testing.assert_allclose(np.asarray(dist), [[0.25, 41.]], rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(idx), [[0, 0]])
+    np.testing.assert_array_equal(np.asarray(dist_type), [[5, 5]])
+
+
+def test_point_to_mesh_distance_vs_naive_torch():
+    torch = pytest.importorskip('torch')
+    import importlib.util
+    # brute force reference: closest point on each triangle via sampling
+    rng = np.random.default_rng(5)
+    points = rng.normal(size=(1, 40, 3))
+    fv = rng.normal(size=(1, 25, 3, 3))
+    dist, idx, types = point_to_mesh_distance(jnp.asarray(points),
+                                              jnp.asarray(fv))
+    # dense barycentric sampling of each face as ground truth distance
+    s = np.linspace(0, 1, 60)
+    u, v = np.meshgrid(s, s)
+    keep = (u + v) <= 1.
+    u, v = u[keep], v[keep]
+    w = 1. - u - v
+    samples = (fv[0, :, None, 0] * w[None, :, None]
+               + fv[0, :, None, 1] * u[None, :, None]
+               + fv[0, :, None, 2] * v[None, :, None])   # (F, S, 3)
+    d = np.min(np.sum((points[0][:, None, None] - samples[None]) ** 2,
+                      axis=-1), axis=(1, 2))
+    np.testing.assert_allclose(np.asarray(dist)[0], d, atol=5e-3)
+
+
+def test_point_to_mesh_gradients_finite():
+    rng = np.random.default_rng(2)
+    points = jnp.asarray(rng.normal(size=(1, 10, 3)))
+    fv = jnp.asarray(rng.normal(size=(1, 6, 3, 3)))
+
+    def loss(p, f):
+        return jnp.sum(point_to_mesh_distance(p, f)[0])
+
+    gp, gf = jax.grad(loss, argnums=(0, 1))(points, fv)
+    eps = 1e-6
+    flat = np.asarray(points).ravel()
+    for k in [0, 7, 29]:
+        d = np.zeros_like(flat)
+        d[k] = eps
+        fp = loss(jnp.asarray((flat + d).reshape(points.shape)), fv)
+        fm = loss(jnp.asarray((flat - d).reshape(points.shape)), fv)
+        np.testing.assert_allclose(float(np.asarray(gp).ravel()[k]),
+                                   (float(fp) - float(fm)) / (2 * eps),
+                                   rtol=1e-4, atol=1e-7)
+
+
+def test_tetrahedron_volume_example():
+    tet = jnp.asarray([[[[0.5000, 0.5000, 0.4500],
+                         [0.4500, 0.5000, 0.5000],
+                         [0.4750, 0.4500, 0.4500],
+                         [0.5000, 0.5000, 0.5000]]]])
+    np.testing.assert_allclose(np.asarray(tetrahedron_volume(tet)),
+                               [[-2.0833e-05]], rtol=1e-3)
+
+
+def test_equivolume_example():
+    tet = jnp.asarray([[[[0.5000, 0.5000, 0.7500],
+                         [0.4500, 0.8000, 0.6000],
+                         [0.4750, 0.4500, 0.2500],
+                         [0.5000, 0.3000, 0.3000]],
+                        [[0.4750, 0.4500, 0.2500],
+                         [0.5000, 0.9000, 0.3000],
+                         [0.4500, 0.4000, 0.9000],
+                         [0.4500, 0.4500, 0.7000]]],
+                       [[[0.7000, 0.3000, 0.4500],
+                         [0.4800, 0.2000, 0.3000],
+                         [0.9000, 0.4500, 0.4500],
+                         [0.2000, 0.5000, 0.1000]],
+                        [[0.3750, 0.4500, 0.2500],
+                         [0.9000, 0.8000, 0.7000],
+                         [0.6000, 0.9000, 0.3000],
+                         [0.5500, 0.3500, 0.9000]]]])
+    np.testing.assert_allclose(np.asarray(equivolume(tet, pow=4)),
+                               [[2.2961e-10], [7.7704e-10]], rtol=1e-3)
+
+
+def test_inverse_vertices_offset_example():
+    tet = jnp.asarray([[[[-0.0500, 0.0000, 0.0500],
+                         [-0.0250, -0.0500, 0.0000],
+                         [0.0000, 0.0000, 0.0500],
+                         [0.5000, 0.5000, 0.4500]]]])
+    out = inverse_vertices_offset(tet)
+    np.testing.assert_allclose(
+        np.asarray(out),
+        [[[[0.0000, 20.0000, 0.0000],
+           [79.9999, -149.9999, 10.0000],
+           [-99.9999, 159.9998, -10.0000]]]], rtol=1e-3, atol=1e-3)
+
+
+def test_voxelgrid_iou_example():
+    pred = jnp.asarray([[[[0., 0.], [1., 1.]], [[1., 1.], [1., 1.]]]])
+    gt = jnp.ones((1, 2, 2, 2))
+    np.testing.assert_allclose(np.asarray(iou(pred, gt)), [0.75])
+
+
+def test_uniform_laplacian_smoothing_example():
+    vertices = jnp.asarray([[[1., 0., 0.], [0., 1., 0.], [0., 0., 1.]]])
+    faces = jnp.asarray([[0, 1, 2]])
+    out = uniform_laplacian_smoothing(vertices, faces)
+    np.testing.assert_allclose(
+        np.asarray(out),
+        [[[0., 0.5, 0.5], [0.5, 0., 0.5], [0.5, 0.5, 0.]]], atol=1e-6)
