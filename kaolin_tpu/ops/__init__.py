@@ -4,6 +4,7 @@ from . import gcn
 from . import random
 from . import reduction
 from . import mesh
+from . import spc
 from .batch import *  # noqa: F401,F403
 from .coords import *  # noqa: F401,F403
 from .reduction import *  # noqa: F401,F403

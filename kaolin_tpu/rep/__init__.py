@@ -1,1 +1,1 @@
-
+from .spc import Spc
