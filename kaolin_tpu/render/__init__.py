@@ -1,2 +1,3 @@
 from . import camera
 from . import mesh
+from . import spc

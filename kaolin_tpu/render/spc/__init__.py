@@ -1,1 +1,1 @@
-
+from .raytrace import *  # noqa: F401,F403

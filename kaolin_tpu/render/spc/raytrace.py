@@ -1,0 +1,393 @@
+"""SPC octree ray-tracing and "pack" stream ops.
+
+TPU-native re-design of ``kaolin/render/spc/raytrace.py:31-296`` (CUDA
+``kaolin/csrc/render/spc/raytrace_cuda.cu``). The CUDA level-synchronous
+BFS (decide / CUB-scan / subdivide / compactify with dynamic nugget
+counts) becomes a statically-shaped XLA loop: a fixed-capacity nugget
+buffer with a valid prefix, per-level vectorized AABB tests, and masked
+scatter compaction (out-of-capacity scatters drop; the true count is
+returned so callers can detect overflow). Children are emitted near-to-far
+per parent via the octant traversal order table (derivable as octants
+sorted by ``(popcount(o ^ origin_octant), o ^ origin_octant)`` — matching
+``raytrace_cuda.cu:48-57 VOXEL_ORDER``).
+
+Pack ops (segmented scans/reductions over per-ray intersection runs) map
+to ``jax.ops.segment_sum`` and ``jax.lax.associative_scan`` with a
+segment-reset combine — no custom kernels needed on TPU.
+
+Known performance limitation (round 1): the BFS is gather-bound and the
+current XLA TPU backend executes large gathers at ~25-50 ns/element, so a
+256x256-ray level-8 trace costs ~1-2 s. The planned fix is a Pallas
+traversal kernel with explicit VMEM staging (bypassing XLA gather
+lowering); correctness and the public API are final.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    'unbatched_raytrace',
+    'unbatched_raytrace_fixed',
+    'mark_pack_boundaries',
+    'diff',
+    'sum_reduce',
+    'cumsum',
+    'cumprod',
+    'exponential_integration',
+    'generate_primary_rays',
+]
+
+
+# Near-to-far octant traversal: VOXEL_ORDER[c][i] == c ^ _GRAY_RANK[i]
+# (octants sorted by (popcount(o ^ c), o ^ c); the xor identity makes the
+# (8, 8) CUDA constant table (raytrace_cuda.cu:48-57) a broadcastable op).
+_GRAY_RANK = jnp.asarray([0, 1, 2, 4, 3, 5, 6, 7], dtype=jnp.int32)
+
+
+def _ray_aabb(o, d, inv, sgn, vc, r):
+    """Vectorized replica of ``spc_render_utils.cuh ray_aabb`` (Majercik et
+    al. 2018 slab test). Returns 0 = miss, > 0 = entry distance,
+    < 0 = ray origin inside the AABB."""
+    oc = o - vc
+    cmax = jnp.max(jnp.abs(oc), axis=-1)
+    inside = cmax < r
+    winding = jnp.where(inside, -r, r)
+
+    d0 = (winding * sgn[..., 0] - oc[..., 0]) * inv[..., 0]
+    d1 = (winding * sgn[..., 1] - oc[..., 1]) * inv[..., 1]
+    d2 = (winding * sgn[..., 2] - oc[..., 2]) * inv[..., 2]
+    ltxy = d[..., 1] * d0 + oc[..., 1]
+    ltxz = d[..., 2] * d0 + oc[..., 2]
+    ltyx = d[..., 0] * d1 + oc[..., 0]
+    ltyz = d[..., 2] * d1 + oc[..., 2]
+    ltzx = d[..., 0] * d2 + oc[..., 0]
+    ltzy = d[..., 1] * d2 + oc[..., 1]
+    test0 = (d0 >= 0.) & (jnp.abs(ltxy) <= r) & (jnp.abs(ltxz) <= r)
+    test1 = (d1 >= 0.) & (jnp.abs(ltyx) <= r) & (jnp.abs(ltyz) <= r)
+    test2 = (d2 >= 0.) & (jnp.abs(ltzx) <= r) & (jnp.abs(ltzy) <= r)
+    dist = jnp.where(test0, d0, jnp.where(test1, d1,
+                     jnp.where(test2, d2, 0.)))
+    return jnp.where(inside, winding, dist)
+
+
+def _sgn(d):
+    # signbit(x) ? 1 : -1 (spc_render_utils.cuh:21-28)
+    return jnp.where(jnp.signbit(d), 1., -1.).astype(d.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('level', 'cap', 'with_exit'))
+def unbatched_raytrace_fixed(octree, point_hierarchy, exsum, origin,
+                             direction, level, cap, with_exit=False):
+    """Statically-shaped SPC ray trace.
+
+    Per-level buffer capacities grow as ``min(cap, num_rays * 3 * 2^l)``
+    (a ray crosses at most ``3 * 2^l - 2`` cells of a ``2^l`` grid), so
+    early BFS levels stay tiny. Compaction is gather-based (searchsorted
+    into the child-count prefix sum) — no TPU scatters anywhere.
+
+    Args:
+        octree: (num_bytes,) uint8.
+        point_hierarchy: (num_points, 3) int16 (all levels).
+        exsum: (num_bytes + 1,) int32.
+        origin, direction: (num_rays, 3) float.
+        level (int): target octree level.
+        cap (int): final nugget buffer capacity (static). If the true
+            number of intersections exceeds a level's capacity results
+            are truncated — check the returned ``count``.
+        with_exit: also compute exit depths.
+
+    Returns:
+        (ray_index (cap,) int32, point_index (cap,) int32,
+        depth (cap, 1 or 2) float, count () int32 — the TRUE number of
+        intersections (may exceed ``cap`` on overflow); entries past
+        ``min(count, cap)`` hold ray/point index -1 and depth 0.
+    """
+    num_rays = origin.shape[0]
+    assert num_rays <= cap, (num_rays, cap)
+    dtype = origin.dtype
+
+    inv = 1.0 / direction              # matches decide_cuda_kernel (no eps)
+    sgn = _sgn(direction)
+    esgn = _sgn(-direction)
+
+    # column-split 1D tables: on this TPU backend 1D-from-1D gathers are
+    # fast while row gathers of (N, k) arrays are not
+    phx = point_hierarchy[:, 0].astype(jnp.int32)
+    phy = point_hierarchy[:, 1].astype(jnp.int32)
+    phz = point_hierarchy[:, 2].astype(jnp.int32)
+    oct_i32 = octree.astype(jnp.int32)
+    exsum_i32 = exsum.astype(jnp.int32)
+    ocols = [origin[:, a] for a in range(3)]
+    dcols = [direction[:, a] for a in range(3)]
+    icols = [inv[:, a] for a in range(3)]
+    scols = [sgn[:, a] for a in range(3)]
+    escols = [esgn[:, a] for a in range(3)]
+
+    def gather3(cols, idx):
+        return jnp.stack([jnp.take(c, idx) for c in cols], axis=-1)
+
+    ridx = jnp.arange(num_rays, dtype=jnp.int32)
+    pidx = jnp.zeros((num_rays,), jnp.int32)
+    count = jnp.asarray(num_rays, jnp.int32)
+
+    for l in range(level):
+        c_in = ridx.shape[0]
+        # proposals at level l+1: up to 8 children per level-l cell the ray
+        # crosses (<= 3*2^l - 2 cells, and <= 8^l cells total)
+        c_out = min(cap, num_rays * 8 * min(8 ** l, 3 * 2 ** l))
+        valid = (jnp.arange(c_in) < count) & (pidx >= 0)
+        safe_p = jnp.maximum(pidx, 0)
+        safe_r = jnp.maximum(ridx, 0)
+        p = jnp.stack([jnp.take(phx, safe_p), jnp.take(phy, safe_p),
+                       jnp.take(phz, safe_p)], axis=-1).astype(dtype)
+        r = 1.0 / (1 << l)
+        vc = r * (2. * p + 1.) - 1.
+        o = gather3(ocols, safe_r)
+        d = gather3(dcols, safe_r)
+        i_ = gather3(icols, safe_r)
+        s_ = gather3(scols, safe_r)
+        depth = _ray_aabb(o, d, i_, s_, vc, r)
+        hit = (depth != 0.) & valid                # raytrace_cuda.cu:117
+
+        bits = jnp.take(oct_i32, safe_p)
+        n_children = jnp.where(hit, jnp.bitwise_count(
+            bits.astype(jnp.uint8)).astype(jnp.int32), 0)
+        incl = jnp.cumsum(n_children)
+        total = incl[-1]
+
+        # gather-based compaction: output k maps to source nugget
+        # i = searchsorted(incl, k, 'right'), child rank j = k - base[i]
+        k = jnp.arange(c_out, dtype=jnp.int32)
+        i = jnp.searchsorted(incl, k, side='right').astype(jnp.int32)
+        i = jnp.minimum(i, c_in - 1)
+        j = k - (jnp.take(incl, i) - jnp.take(n_children, i))
+
+        src_p = jnp.take(safe_p, i)
+        src_r = jnp.take(ridx, i)
+        bits_k = jnp.take(bits, i)
+        # ray-origin octant code (subdivide_cuda_kernel:252-259)
+        fx = (0.5 * jnp.take(ocols[0], jnp.take(safe_r, i)) + 0.5) \
+            - r * (jnp.take(phx, src_p).astype(dtype) + 0.5)
+        fy = (0.5 * jnp.take(ocols[1], jnp.take(safe_r, i)) + 0.5) \
+            - r * (jnp.take(phy, src_p).astype(dtype) + 0.5)
+        fz = (0.5 * jnp.take(ocols[2], jnp.take(safe_r, i)) + 0.5) \
+            - r * (jnp.take(phz, src_p).astype(dtype) + 0.5)
+        code = ((fx > 0) * 4 + (fy > 0) * 2 + (fz > 0) * 1).astype(jnp.int32)
+        order = code[:, None] ^ _GRAY_RANK[None, :]        # (c_out, 8)
+        child_bit = ((bits_k[:, None] >> order) & 1) > 0
+        within = jnp.cumsum(child_bit.astype(jnp.int32), axis=1)
+        # j-th existing child in VOXEL_ORDER order
+        m = jnp.argmax(within == (j[:, None] + 1), axis=1)
+        octant = jnp.take_along_axis(order, m[:, None], axis=1)[:, 0]
+        cnt = jnp.bitwise_count(
+            (bits_k & ((2 << octant) - 1)).astype(jnp.uint32)
+        ).astype(jnp.int32)
+        child_pidx = jnp.take(exsum_i32, src_p) + cnt
+
+        in_range = k < total
+        ridx = jnp.where(in_range, src_r, -1)
+        pidx = jnp.where(in_range, child_pidx, -1)
+        count = jnp.minimum(total, c_out).astype(jnp.int32)
+
+    # final level: keep entry depth > 0 (and exit > 0 if with_exit)
+    c_in = ridx.shape[0]
+    valid = (jnp.arange(c_in) < count) & (pidx >= 0)
+    safe_p = jnp.maximum(pidx, 0)
+    safe_r = jnp.maximum(ridx, 0)
+    p = jnp.stack([jnp.take(phx, safe_p), jnp.take(phy, safe_p),
+                   jnp.take(phz, safe_p)], axis=-1).astype(dtype)
+    r = 1.0 / (1 << level)
+    vc = r * (2. * p + 1.) - 1.
+    o = gather3(ocols, safe_r)
+    d = gather3(dcols, safe_r)
+    i_ = gather3(icols, safe_r)
+    s_ = gather3(scols, safe_r)
+    entry = _ray_aabb(o, d, i_, s_, vc, r)
+    if with_exit:
+        es_ = gather3(escols, safe_r)
+        exit_ = _ray_aabb(o, d, i_, es_, vc, r)
+        keep = (entry > 0.) & (exit_ > 0.) & valid
+        depth_cols = [entry, exit_]
+    else:
+        keep = (entry > 0.) & valid
+        depth_cols = [entry]
+
+    keep_i = keep.astype(jnp.int32)
+    incl = jnp.cumsum(keep_i)
+    total = incl[-1]
+    k = jnp.arange(cap, dtype=jnp.int32)
+    i = jnp.searchsorted(incl, k, side='right').astype(jnp.int32)
+    i = jnp.minimum(i, c_in - 1)
+    in_range = k < total
+    out_ridx = jnp.where(in_range, jnp.take(ridx, i), -1)
+    out_pidx = jnp.where(in_range, jnp.take(pidx, i), -1)
+    out_depth = jnp.stack(
+        [jnp.where(in_range, jnp.take(c, i), 0.) for c in depth_cols],
+        axis=-1)
+    return out_ridx, out_pidx, out_depth, total
+
+
+def unbatched_raytrace(octree, point_hierarchy, pyramid, exsum, origin,
+                       direction, level, return_depth=True, with_exit=False,
+                       max_nuggets=None):
+    """Ray-traces an unbatched SPC, returning dynamically-sized results.
+
+    Behavior matches ``kaolin.render.spc.unbatched_raytrace``
+    (``kaolin/render/spc/raytrace.py:31``): intersections sorted by ray
+    then near-to-far depth. Host wrapper over
+    :func:`unbatched_raytrace_fixed` (use that directly inside jit).
+
+    Args:
+        octree, point_hierarchy, pyramid, exsum: SPC structure.
+        origin, direction: (num_rays, 3).
+        level (int): target level.
+        return_depth / with_exit: include entry (and exit) depths.
+        max_nuggets: static buffer capacity (default: 64 * num_rays,
+            doubled on overflow automatically).
+
+    Returns:
+        (ray_index (N,), point_index (N,)[, depth (N, 1 or 2)]).
+    """
+    num_rays = origin.shape[0]
+    cap = int(max_nuggets) if max_nuggets is not None else 64 * num_rays
+    while True:
+        ridx, pidx, depth, count = unbatched_raytrace_fixed(
+            octree, point_hierarchy, exsum, origin, direction,
+            int(level), cap, bool(with_exit))
+        n = int(count)
+        if n <= cap:
+            break
+        cap = max(2 * cap, n)
+    ridx = ridx[:n]
+    pidx = pidx[:n]
+    if return_depth:
+        return ridx, pidx, depth[:n]
+    return ridx, pidx
+
+
+def mark_pack_boundaries(pack_ids):
+    """True at the first element of each pack (run of equal ids).
+
+    Reference: ``kaolin/render/spc/raytrace.py:86``.
+    """
+    first = jnp.ones((1,), bool)
+    rest = pack_ids[1:] != pack_ids[:-1]
+    return jnp.concatenate([first, rest])
+
+
+def _seg_ids(boundaries):
+    return jnp.cumsum(boundaries.astype(jnp.int32)) - 1
+
+
+def diff(feats, boundaries):
+    """Per-pack forward difference, 0 at each pack's last element.
+
+    Reference: ``kaolin/render/spc/raytrace.py:124``.
+    """
+    nxt = jnp.concatenate([feats[1:], jnp.zeros_like(feats[:1])], axis=0)
+    is_last = jnp.concatenate([boundaries[1:], jnp.ones((1,), bool)])
+    return jnp.where(is_last[:, None], 0., nxt - feats)
+
+
+def sum_reduce(feats, boundaries, num_packs=None):
+    """Sums features within each pack.
+
+    Reference: ``kaolin/render/spc/raytrace.py:208``. Static shapes under
+    jit: the result has ``num_packs`` rows if given (static), else
+    ``num_elems`` rows zero-padded past the true pack count (slice with
+    ``int(boundaries.sum())`` outside jit for reference parity).
+    """
+    seg = _seg_ids(boundaries)
+    n = num_packs if num_packs is not None else feats.shape[0]
+    return jax.ops.segment_sum(feats, seg, num_segments=n)
+
+
+def _segmented_scan(feats, boundaries, op, identity, exclusive, reverse):
+    seg = _seg_ids(boundaries)
+
+    def combine(a, b):
+        va, ia = a
+        vb, ib = b
+        same = (ia == ib)[..., None] if va.ndim > ia.ndim else (ia == ib)
+        return jnp.where(same, op(va, vb), vb), ib
+
+    incl, _ = jax.lax.associative_scan(combine, (feats, jnp.broadcast_to(
+        seg[:, None], feats.shape)), axis=0, reverse=reverse)
+    if not exclusive:
+        return incl
+    ident = jnp.full_like(feats[:1], identity)
+    if not reverse:
+        shifted = jnp.concatenate([ident, incl[:-1]], axis=0)
+        return jnp.where(boundaries[:, None], identity, shifted)
+    shifted = jnp.concatenate([incl[1:], ident], axis=0)
+    is_last = jnp.concatenate([boundaries[1:], jnp.ones((1,), bool)])
+    return jnp.where(is_last[:, None], identity, shifted)
+
+
+def cumsum(feats, boundaries, exclusive=False, reverse=False):
+    """Segmented cumulative sum (tf.math.cumsum options).
+
+    Reference: ``kaolin/render/spc/raytrace.py:221``.
+    """
+    return _segmented_scan(feats, boundaries, jnp.add, 0., exclusive,
+                           reverse)
+
+
+def cumprod(feats, boundaries, exclusive=False, reverse=False):
+    """Segmented cumulative product (tf.math.cumprod options).
+
+    Reference: ``kaolin/render/spc/raytrace.py:241``.
+    """
+    return _segmented_scan(feats, boundaries, jnp.multiply, 1., exclusive,
+                           reverse)
+
+
+def exponential_integration(feats, tau, boundaries, exclusive=True):
+    """Beer-Lambert transmittance integration over packs (cumsum form).
+
+    Reference: ``kaolin/render/spc/raytrace.py:265``.
+
+    Returns:
+        (integrated feats (num_elems_or_packs, feat_dim), transmittance
+        (num_elems, 1)). The integrated features array has one row per
+        pack in the first ``num_packs`` entries (zero-padded, static
+        shape); pair with ``mark_pack_boundaries`` counts to slice.
+    """
+    alpha = 1.0 - jnp.exp(-tau)
+    transmittance = jnp.exp(-1.0 * cumsum(tau, boundaries,
+                                          exclusive=exclusive))
+    transmittance = transmittance * alpha
+    seg = _seg_ids(boundaries)
+    feats_out = jax.ops.segment_sum(transmittance * feats, seg,
+                                    num_segments=feats.shape[0])
+    return feats_out, transmittance
+
+
+def generate_primary_rays(height, width, eye, at, up, fov, dtype=jnp.float32):
+    """Pinhole primary rays from a lookat camera (deprecated CUDA op
+    ``generate_primary_rays_cuda``, reimplemented in jnp).
+
+    Returns:
+        (origin (H*W, 3), direction (H*W, 3)).
+    """
+    eye = jnp.asarray(eye, dtype)
+    at = jnp.asarray(at, dtype)
+    up = jnp.asarray(up, dtype)
+    z = eye - at
+    z = z / jnp.linalg.norm(z)
+    x = jnp.cross(up, z)
+    x = x / jnp.linalg.norm(x)
+    y = jnp.cross(z, x)
+    px = (jnp.arange(width, dtype=dtype) + 0.5) / width * 2. - 1.
+    py = (jnp.arange(height, dtype=dtype) + 0.5) / height * 2. - 1.
+    tan = jnp.tan(jnp.asarray(fov, dtype) / 2.)
+    dirs = (px[None, :, None] * x[None, None] * tan * (width / height)
+            - py[:, None, None] * y[None, None] * tan
+            - z[None, None])
+    dirs = dirs.reshape(-1, 3)
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    o = jnp.broadcast_to(eye, dirs.shape).astype(dtype)
+    return o, dirs

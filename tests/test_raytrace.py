@@ -1,0 +1,194 @@
+"""SPC ray tracing + pack ops: brute-force cross-check, ordering
+invariants, analytic sphere depths, segmented scan semantics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from kaolin_tpu.ops.spc import (quantize_points, unbatched_points_to_octree,
+                                scan_octrees, generate_points,
+                                unbatched_get_level_points)
+from kaolin_tpu.render.spc import (unbatched_raytrace, mark_pack_boundaries,
+                                   diff, sum_reduce, cumsum, cumprod,
+                                   exponential_integration,
+                                   generate_primary_rays)
+
+
+def brute_force_ray_voxels(voxels, level, o, d):
+    """All (voxel, entry_t) hit by ray o+t*d, via dense slab tests."""
+    r = 1.0 / (2 ** level)
+    hits = []
+    for i, p in enumerate(voxels):
+        lo = np.asarray(p) * 2. * r - 1.
+        hi = lo + 2. * r
+        tmin, tmax = -np.inf, np.inf
+        ok = True
+        for a in range(3):
+            if abs(d[a]) < 1e-12:
+                if o[a] < lo[a] or o[a] > hi[a]:
+                    ok = False
+                    break
+            else:
+                t0 = (lo[a] - o[a]) / d[a]
+                t1 = (hi[a] - o[a]) / d[a]
+                t0, t1 = min(t0, t1), max(t0, t1)
+                tmin, tmax = max(tmin, t0), min(tmax, t1)
+        if ok and tmax >= tmin and tmax > 0 and tmin > 0:
+            hits.append((i, tmin))
+    hits.sort(key=lambda x: x[1])
+    return hits
+
+
+@pytest.fixture(scope='module')
+def sphere_spc():
+    level = 5
+    rng = np.random.default_rng(0)
+    dirs = rng.normal(size=(3000, 3))
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    surf = dirs * 0.7
+    qpts = quantize_points(jnp.asarray(surf), level)
+    octree = unbatched_points_to_octree(qpts, level)
+    lengths = np.array([len(np.asarray(octree))])
+    max_level, pyramids, exsum = scan_octrees(octree, lengths)
+    ph = generate_points(octree, pyramids, exsum)
+    return octree, ph, pyramids[0], exsum, level
+
+
+def test_raytrace_vs_bruteforce(sphere_spc):
+    octree, ph, pyramid, exsum, level = sphere_spc
+    voxels = np.asarray(unbatched_get_level_points(ph, pyramid, level))
+    lvl_off = int(pyramid[1, level])
+    rng = np.random.default_rng(1)
+    origins = np.tile([[0., 0., -2.5]], (20, 1))
+    targets = rng.uniform(-0.5, 0.5, (20, 3))
+    dirs = targets - origins
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    ridx, pidx, depth = unbatched_raytrace(
+        octree, ph, pyramid, exsum, jnp.asarray(origins, jnp.float32),
+        jnp.asarray(dirs, jnp.float32), level)
+    ridx, pidx, depth = (np.asarray(ridx), np.asarray(pidx),
+                         np.asarray(depth)[:, 0])
+    for rid in range(20):
+        mine = pidx[ridx == rid] - lvl_off
+        mine_d = depth[ridx == rid]
+        gt = brute_force_ray_voxels(voxels, level, origins[rid], dirs[rid])
+        gt_ids = [g[0] for g in gt]
+        assert mine.tolist() == gt_ids, f"ray {rid}"
+        np.testing.assert_allclose(mine_d, [g[1] for g in gt], rtol=1e-4,
+                                   atol=1e-5)
+        # near-to-far within the ray
+        assert (np.diff(mine_d) >= -1e-6).all()
+
+
+def test_raytrace_ray_ordering(sphere_spc):
+    octree, ph, pyramid, exsum, level = sphere_spc
+    o, d = generate_primary_rays(16, 16, jnp.asarray([0., 0., 2.5]),
+                                 jnp.zeros(3), jnp.asarray([0., 1., 0.]),
+                                 jnp.pi / 3)
+    ridx, pidx, depth = unbatched_raytrace(octree, ph, pyramid, exsum, o, d,
+                                           level)
+    r = np.asarray(ridx)
+    assert (np.diff(r) >= 0).all()          # sorted by ray
+    assert (np.asarray(depth) > 0).all()
+
+
+def test_raytrace_with_exit(sphere_spc):
+    octree, ph, pyramid, exsum, level = sphere_spc
+    o = jnp.asarray([[0., 0., -2.]], jnp.float32)
+    d = jnp.asarray([[0., 0., 1.]], jnp.float32)
+    ridx, pidx, depth = unbatched_raytrace(octree, ph, pyramid, exsum, o, d,
+                                           level, with_exit=True)
+    dep = np.asarray(depth)
+    assert dep.shape[1] == 2
+    assert (dep[:, 1] > dep[:, 0]).all()
+    # voxel thickness = 2/2^level along an axis-aligned ray
+    np.testing.assert_allclose(dep[:, 1] - dep[:, 0], 2. / 2 ** level,
+                               rtol=1e-4)
+
+
+def test_raytrace_sphere_depth(sphere_spc):
+    """First hit depth approximates analytic sphere intersection."""
+    octree, ph, pyramid, exsum, level = sphere_spc
+    rng = np.random.default_rng(3)
+    dirs = rng.normal(size=(50, 3))
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    origins = -2.0 * dirs                    # aim at center from radius 2
+    ridx, pidx, depth = unbatched_raytrace(
+        octree, ph, pyramid, exsum, jnp.asarray(origins, jnp.float32),
+        jnp.asarray(dirs, jnp.float32), level)
+    ridx = np.asarray(ridx)
+    first = mark_pack_boundaries(jnp.asarray(ridx))
+    first_d = np.asarray(depth)[np.asarray(first), 0]
+    expected = 2.0 - 0.7                     # distance to sphere surface
+    assert abs(np.median(first_d) - expected) < 0.1
+
+
+def test_mark_pack_boundaries():
+    ids = jnp.asarray([1, 1, 1, 1, 2, 2, 2])
+    out = np.asarray(mark_pack_boundaries(ids))
+    assert out.tolist() == [True, False, False, False, True, False, False]
+
+
+def test_pack_ops_against_numpy():
+    rng = np.random.default_rng(0)
+    ids = np.sort(rng.integers(0, 5, 40))
+    boundaries = jnp.asarray(np.concatenate([[True], ids[1:] != ids[:-1]]))
+    feats = jnp.asarray(rng.normal(size=(40, 3)))
+    segs = np.cumsum(np.asarray(boundaries)) - 1
+
+    # diff
+    d = np.asarray(diff(feats, boundaries))
+    f = np.asarray(feats)
+    for i in range(40):
+        if i == 39 or segs[i + 1] != segs[i]:
+            np.testing.assert_allclose(d[i], 0.)
+        else:
+            np.testing.assert_allclose(d[i], f[i + 1] - f[i], rtol=1e-6)
+
+    # sum_reduce
+    sr = np.asarray(sum_reduce(feats, boundaries))
+    for s in range(segs.max() + 1):
+        np.testing.assert_allclose(sr[s], f[segs == s].sum(0), rtol=1e-6)
+
+    # cumsum / cumprod all variants
+    for exclusive in [False, True]:
+        for reverse in [False, True]:
+            cs = np.asarray(cumsum(feats, boundaries, exclusive, reverse))
+            cp = np.asarray(cumprod(jnp.abs(feats) + 0.1, boundaries,
+                                    exclusive, reverse))
+            fa = np.abs(f) + 0.1
+            for s in range(segs.max() + 1):
+                x = f[segs == s]
+                xa = fa[segs == s]
+                if reverse:
+                    ref_s = np.cumsum(x[::-1], 0)[::-1]
+                    ref_p = np.cumprod(xa[::-1], 0)[::-1]
+                    if exclusive:
+                        ref_s = np.concatenate([ref_s[1:], np.zeros((1, 3))])
+                        ref_p = np.concatenate([ref_p[1:], np.ones((1, 3))])
+                else:
+                    ref_s = np.cumsum(x, 0)
+                    ref_p = np.cumprod(xa, 0)
+                    if exclusive:
+                        ref_s = np.concatenate([np.zeros((1, 3)), ref_s[:-1]])
+                        ref_p = np.concatenate([np.ones((1, 3)), ref_p[:-1]])
+                np.testing.assert_allclose(cs[segs == s], ref_s, rtol=1e-6,
+                                           atol=1e-12)
+                np.testing.assert_allclose(cp[segs == s], ref_p, rtol=1e-6)
+
+
+def test_exponential_integration():
+    boundaries = jnp.asarray([True, False, False, True, False])
+    tau = jnp.asarray([[0.5], [1.0], [0.2], [0.3], [0.4]])
+    feats = jnp.asarray(np.random.default_rng(0).random((5, 2)))
+    out, transmittance = exponential_integration(feats, tau, boundaries)
+    # manual Beer-Lambert for pack 0
+    t = np.asarray(tau)[:, 0]
+    alpha = 1 - np.exp(-t)
+    T = np.exp(-np.concatenate([[0.], np.cumsum(t[:2])]))  # exclusive
+    w = T[:3] * alpha[:3]
+    expected0 = (w[:, None] * np.asarray(feats)[:3]).sum(0)
+    np.testing.assert_allclose(np.asarray(out)[0], expected0, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(transmittance)[:3, 0], w,
+                               rtol=1e-5)
