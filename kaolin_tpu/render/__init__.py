@@ -1,3 +1,4 @@
 from . import camera
 from . import mesh
 from . import spc
+from . import lighting
