@@ -1,0 +1,214 @@
+"""Wavefront OBJ importer (with MTL material support).
+
+Reference: ``kaolin/io/obj.py:62-277``. Returns jnp arrays; semantics
+(1-based index handling, material ordering, error handlers) match the
+reference.
+"""
+
+import os
+import warnings
+from collections import namedtuple
+
+import numpy as np
+import jax.numpy as jnp
+from PIL import Image
+
+from . import utils
+from .materials import (MaterialLoadError, MaterialFileError,
+                        MaterialNotFoundError)
+
+__all__ = [
+    'ignore_error_handler',
+    'skip_error_handler',
+    'default_error_handler',
+    'import_mesh',
+    'load_mtl',
+]
+
+return_type = namedtuple('return_type',
+                         ['vertices', 'faces', 'uvs', 'face_uvs_idx',
+                          'materials', 'materials_order', 'vertex_normals',
+                          'face_normals'])
+
+
+def ignore_error_handler(error, **kwargs):
+    """Ignores all errors."""
+    pass
+
+
+def skip_error_handler(error, **kwargs):
+    """Logs errors as warnings."""
+    warnings.warn(error.args[0], UserWarning)
+
+
+def default_error_handler(error, **kwargs):
+    """Raises all errors."""
+    raise error
+
+
+def _flatten(feature):
+    if feature is None or len(feature) == 0:
+        return None
+    return [item for sublist in feature for item in sublist]
+
+
+def import_mesh(path, with_materials=False, with_normals=False,
+                error_handler=None, heterogeneous_mesh_handler=None):
+    r"""Loads an .obj file as a single mesh.
+
+    Args:
+        path (str): path to the obj file.
+        with_materials (bool): also load MTL materials and UVs.
+        with_normals (bool): also load vertex normals.
+        error_handler: callable handling material errors
+            (default: raise).
+        heterogeneous_mesh_handler: callable handling non-homogeneous
+            meshes (default: raise NonHomogeneousMeshError).
+
+    Returns:
+        namedtuple (vertices, faces, uvs, face_uvs_idx, materials,
+        materials_order, vertex_normals, face_normals).
+    """
+    if error_handler is None:
+        error_handler = default_error_handler
+    vertices, faces, uvs = [], [], []
+    face_uvs_idx, vertex_normals, face_normals = [], [], []
+    materials_order = []
+    materials_dict = {}
+    materials_idx = {}
+
+    with open(path, 'r', encoding='utf-8') as f:
+        for line in f:
+            data = line.split()
+            if len(data) == 0:
+                continue
+            if data[0] == 'v':
+                vertices.append(data[1:4])
+            elif with_materials and data[0] == 'vt':
+                uvs.append(data[1:3])
+            elif with_normals and data[0] == 'vn':
+                vertex_normals.append(data[1:])
+            elif data[0] == 'f':
+                data = [da.split('/') for da in data[1:]]
+                faces.append([int(d[0]) for d in data])
+                if with_materials:
+                    if len(data[1]) > 1 and data[1][1] != '':
+                        face_uvs_idx.append([int(d[1]) for d in data])
+                    else:
+                        face_uvs_idx.append([0] * len(data))
+                if with_normals:
+                    if len(data[1]) > 2:
+                        face_normals.append([int(d[2]) for d in data])
+                    else:
+                        face_normals.append([0] * len(data))
+            elif with_materials and data[0] == 'usemtl':
+                material_name = data[1]
+                if material_name not in materials_idx:
+                    materials_idx[material_name] = len(materials_idx)
+                materials_order.append([materials_idx[material_name],
+                                        len(face_uvs_idx)])
+            elif with_materials and data[0] == 'mtllib':
+                mtl_path = os.path.join(os.path.dirname(path), data[1])
+                materials_dict.update(load_mtl(mtl_path, error_handler))
+
+    materials = [{} for _ in materials_idx]
+    for material_name, idx in materials_idx.items():
+        if material_name not in materials_dict:
+            error_handler(
+                MaterialNotFoundError(f"'{material_name}' not found."),
+                material_name=material_name, idx=idx, materials=materials,
+                materials_order=materials_order)
+        else:
+            materials[idx] = materials_dict[material_name]
+
+    vertices_np = np.asarray([[float(el) for el in v] for v in vertices],
+                             np.float32).reshape(-1, 3)
+    face_vertex_counts = np.asarray([len(f) for f in faces], np.int64)
+    if len(faces) and not np.all(face_vertex_counts
+                                 == face_vertex_counts[0]):
+        if heterogeneous_mesh_handler is None:
+            raise utils.NonHomogeneousMeshError(
+                f'Mesh is non-homogeneous and cannot be imported from '
+                f'{path}. User can set heterogeneous_mesh_handler. See '
+                f'kaolin_tpu.io.utils for the available options')
+        all_features = [_flatten(f)
+                        for f in (faces, face_uvs_idx, face_normals)]
+        mesh = heterogeneous_mesh_handler(jnp.asarray(vertices_np),
+                                          face_vertex_counts,
+                                          *all_features)
+        if mesh is None:
+            return None
+        vertices_out, face_vertex_counts, faces, face_uvs_idx, \
+            face_normals = mesh
+        vertices_np = np.asarray(vertices_out)
+
+    faces_out = jnp.asarray(np.asarray(faces, np.int64) - 1) \
+        if len(faces) else jnp.zeros((0, 3), jnp.int64)
+    if with_materials:
+        uvs_out = jnp.asarray(
+            np.asarray([[float(el) for el in u] for u in uvs],
+                       np.float32).reshape(-1, 2))
+        face_uvs_idx_out = jnp.asarray(
+            np.asarray(face_uvs_idx, np.int64) - 1) \
+            if len(face_uvs_idx) else jnp.zeros((0, 3), jnp.int64)
+        materials_order_out = jnp.asarray(
+            np.asarray(materials_order, np.int64).reshape(-1, 2))
+    else:
+        uvs_out = None
+        face_uvs_idx_out = None
+        materials = None
+        materials_order_out = None
+    if with_normals:
+        vertex_normals_out = jnp.asarray(
+            np.asarray([[float(el) for el in n] for n in vertex_normals],
+                       np.float32).reshape(-1, 3))
+        face_normals_out = jnp.asarray(
+            np.asarray(face_normals, np.int64) - 1) \
+            if len(face_normals) else jnp.zeros((0, 3), jnp.int64)
+    else:
+        vertex_normals_out = None
+        face_normals_out = None
+    return return_type(jnp.asarray(vertices_np), faces_out, uvs_out,
+                       face_uvs_idx_out, materials, materials_order_out,
+                       vertex_normals_out, face_normals_out)
+
+
+def load_mtl(mtl_path, error_handler):
+    """Loads an .mtl material file (Kd/Ka/Ks values and texture maps).
+
+    Reference: ``kaolin/io/obj.py:219``.
+    """
+    mtl_data = {}
+    root_dir = os.path.dirname(mtl_path)
+    try:
+        f = open(mtl_path, 'r', encoding='utf-8')
+    except Exception as e:
+        error_handler(MaterialFileError(
+            f"Failed to load material at path '{mtl_path}':\n{e}"),
+            mtl_path=mtl_path, mtl_data=mtl_data)
+        return mtl_data
+    material_name = None
+    for line in f.readlines():
+        data = line.split()
+        if len(data) == 0:
+            continue
+        try:
+            if data[0] == 'newmtl':
+                material_name = data[1]
+                mtl_data[material_name] = {}
+            elif data[0] in {'map_Kd', 'map_Ka', 'map_Ks'}:
+                texture_path = os.path.join(root_dir, data[1])
+                img = Image.open(texture_path)
+                if img.mode != 'RGB':
+                    img = img.convert('RGB')
+                mtl_data[material_name][data[0]] = jnp.asarray(
+                    np.array(img))
+            elif data[0] in {'Kd', 'Ka', 'Ks'}:
+                mtl_data[material_name][data[0]] = jnp.asarray(
+                    [float(val) for val in data[1:]])
+        except Exception as e:
+            error_handler(MaterialLoadError(
+                f"Failed to load material at path '{mtl_path}':\n{e}"),
+                data=data, mtl_data=mtl_data)
+    f.close()
+    return mtl_data

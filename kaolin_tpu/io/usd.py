@@ -1,0 +1,587 @@
+"""USD scene I/O: meshes, pointclouds, voxelgrids, with time samples.
+
+Reference: ``kaolin/io/usd.py:306-1336``. The reference requires pxr
+(usd-core); this module implements a self-contained **USDA (ASCII)**
+subset writer/parser instead — stages written here are valid ``.usda``
+readable by standard USD tools, and this module round-trips its own
+files (plus any usda whose prims use the attribute forms emitted here).
+Binary ``.usdc`` files require pxr and raise a helpful error.
+"""
+
+import os
+import re
+from collections import namedtuple
+
+import numpy as np
+import jax.numpy as jnp
+
+__all__ = [
+    'Stage',
+    'create_stage',
+    'get_scene_paths',
+    'add_mesh',
+    'export_mesh',
+    'export_meshes',
+    'import_mesh',
+    'import_meshes',
+    'add_pointcloud',
+    'export_pointcloud',
+    'import_pointcloud',
+    'add_voxelgrid',
+    'export_voxelgrid',
+    'import_voxelgrid',
+    'add_material',
+    'import_material',
+]
+
+mesh_return_type = namedtuple('mesh_return_type', ['vertices', 'faces'])
+pointcloud_return_type = namedtuple('pointcloud_return_type',
+                                    ['points', 'colors', 'normals'])
+
+
+# --------------------------------------------------------------------------
+# Stage: in-memory prim tree <-> usda text
+# --------------------------------------------------------------------------
+
+class _Prim:
+    def __init__(self, name, type_name='Xform'):
+        self.name = name
+        self.type_name = type_name
+        self.attrs = {}        # name -> (usd_type, value)
+        self.time_attrs = {}   # name -> (usd_type, {time: value})
+        self.children = {}
+
+    def child(self, name, type_name='Xform'):
+        if name not in self.children:
+            self.children[name] = _Prim(name, type_name)
+        return self.children[name]
+
+
+class Stage:
+    """A minimal USD stage over a prim tree, serialized as usda text."""
+
+    def __init__(self, file_path, up_axis='Y'):
+        self.file_path = file_path
+        self.up_axis = up_axis
+        self.root = _Prim('', 'Root')
+        self.default_prim = None
+
+    # --- prim access -----------------------------------------------------
+    def define_prim(self, scene_path, type_name='Xform'):
+        parts = [p for p in scene_path.split('/') if p]
+        prim = self.root
+        for i, p in enumerate(parts):
+            prim = prim.child(p, type_name if i == len(parts) - 1
+                              else 'Xform')
+        if self.default_prim is None and parts:
+            self.default_prim = parts[0]
+        if type_name is not None:
+            prim.type_name = type_name
+        return prim
+
+    def get_prim(self, scene_path):
+        parts = [p for p in scene_path.split('/') if p]
+        prim = self.root
+        for p in parts:
+            if p not in prim.children:
+                return None
+            prim = prim.children[p]
+        return prim
+
+    def walk(self):
+        def rec(prim, path):
+            for name, child in prim.children.items():
+                cpath = path + '/' + name
+                yield cpath, child
+                yield from rec(child, cpath)
+        yield from rec(self.root, '')
+
+    # --- save / load -----------------------------------------------------
+    def save(self):
+        lines = ['#usda 1.0', '(']
+        if self.default_prim:
+            lines.append(f'    defaultPrim = "{self.default_prim}"')
+        lines.append(f'    upAxis = "{self.up_axis}"')
+        lines.append(')')
+        lines.append('')
+
+        def fmt_value(usd_type, value):
+            if usd_type == 'string':
+                return f'"{value}"'
+            if usd_type == 'bool':
+                return 'true' if value else 'false'
+            if usd_type in ('int', 'float', 'double'):
+                return repr(value)
+            arr = np.asarray(value)
+            if arr.ndim == 1:
+                return '[' + ', '.join(repr(v.item()) for v in arr) + ']'
+            return '[' + ', '.join(
+                '(' + ', '.join(repr(c.item()) for c in row) + ')'
+                for row in arr) + ']'
+
+        def rec(prim, path, indent):
+            pad = ' ' * indent
+            lines.append(f'{pad}def {prim.type_name} "{prim.name}"')
+            lines.append(pad + '{')
+            inner = ' ' * (indent + 4)
+            for name, (usd_type, value) in prim.attrs.items():
+                lines.append(f'{inner}{usd_type} {name} = '
+                             f'{fmt_value(usd_type, value)}')
+            for name, (usd_type, samples) in prim.time_attrs.items():
+                lines.append(f'{inner}{usd_type} {name}.timeSamples = {{')
+                for t in sorted(samples):
+                    lines.append(f'{inner}    {t}: '
+                                 f'{fmt_value(usd_type, samples[t])},')
+                lines.append(inner + '}')
+            for child in prim.children.values():
+                rec(child, path + '/' + child.name, indent + 4)
+            lines.append(pad + '}')
+
+        for child in self.root.children.values():
+            rec(child, '/' + child.name, 0)
+        with open(self.file_path, 'w', encoding='utf-8') as f:
+            f.write('\n'.join(lines) + '\n')
+        return self
+
+    @classmethod
+    def load(cls, file_path):
+        with open(file_path, 'rb') as f:
+            head = f.read(8)
+        if head.startswith(b'PXR-USDC'):
+            raise NotImplementedError(
+                'binary .usdc files require pxr (usd-core), which is not '
+                'available; use .usda')
+        stage = cls(file_path)
+        with open(file_path, 'r', encoding='utf-8') as f:
+            text = f.read()
+        m = re.search(r'defaultPrim\s*=\s*"([^"]*)"', text)
+        if m:
+            stage.default_prim = m.group(1)
+        m = re.search(r'upAxis\s*=\s*"([^"]*)"', text)
+        if m:
+            stage.up_axis = m.group(1)
+
+        tokens = text.splitlines()
+        stack = [stage.root]
+        i = 0
+        prim_re = re.compile(r'\s*def\s+(\w+)\s+"([^"]+)"')
+        attr_re = re.compile(
+            r'\s*([\w\[\]]+)\s+([\w:]+)\s*=\s*(.*)$')
+        time_re = re.compile(
+            r'\s*([\w\[\]]+)\s+([\w:]+)\.timeSamples\s*=\s*\{')
+        sample_re = re.compile(r'\s*([\d.eE+-]+)\s*:\s*(.*?),?\s*$')
+
+        def parse_value(usd_type, raw):
+            raw = raw.strip().rstrip(',')
+            if usd_type == 'string':
+                return raw.strip('"')
+            if usd_type == 'bool':
+                return raw == 'true'
+            if usd_type in ('int', 'float', 'double'):
+                return float(raw) if usd_type != 'int' else int(raw)
+            nums = re.findall(r'-?[\d.eE+]+', raw)
+            vals = [float(n) for n in nums]
+            if '(' in raw:
+                # tuple array: infer the tuple arity
+                first = raw[raw.index('(') + 1:raw.index(')')]
+                arity = len(first.split(','))
+                arr = np.asarray(vals).reshape(-1, arity)
+            else:
+                arr = np.asarray(vals)
+            if usd_type.startswith('int'):
+                arr = arr.astype(np.int64)
+            return arr
+
+        while i < len(tokens):
+            line = tokens[i]
+            pm = prim_re.match(line)
+            if pm:
+                type_name, name = pm.groups()
+                prim = stack[-1].child(name, type_name)
+                prim.type_name = type_name
+                # skip to opening brace
+                while '{' not in tokens[i]:
+                    i += 1
+                stack.append(prim)
+                i += 1
+                continue
+            tm = time_re.match(line)
+            if tm:
+                usd_type, name = tm.groups()
+                samples = {}
+                i += 1
+                while '}' not in tokens[i]:
+                    sm = sample_re.match(tokens[i])
+                    if sm:
+                        t, raw = sm.groups()
+                        samples[float(t)] = parse_value(usd_type, raw)
+                    i += 1
+                stack[-1].time_attrs[name] = (usd_type, samples)
+                i += 1
+                continue
+            am = attr_re.match(line)
+            if am and len(stack) > 1 and 'def ' not in line:
+                usd_type, name, raw = am.groups()
+                if usd_type not in ('def',):
+                    try:
+                        stack[-1].attrs[name] = (usd_type,
+                                                 parse_value(usd_type, raw))
+                    except (ValueError, IndexError):
+                        pass
+                i += 1
+                continue
+            if line.strip() == '}' and len(stack) > 1:
+                stack.pop()
+            i += 1
+        return stage
+
+
+def create_stage(file_path, up_axis='Y'):
+    """Creates a new USD stage file (reference ``io/usd.py:367``)."""
+    assert os.path.exists(os.path.dirname(file_path) or '.')
+    stage = Stage(file_path, up_axis)
+    stage.save()
+    return stage
+
+
+def _open(file_or_stage):
+    if isinstance(file_or_stage, Stage):
+        return file_or_stage
+    if os.path.exists(file_or_stage) \
+            and os.path.getsize(file_or_stage) > 0:
+        return Stage.load(file_or_stage)
+    return Stage(file_or_stage)
+
+
+def get_scene_paths(file_path_or_stage, scene_path_regex=None,
+                    prim_types=None):
+    """Lists scene paths, optionally filtered by regex and prim types.
+
+    Reference: ``kaolin/io/usd.py:306``.
+    """
+    stage = _open(file_path_or_stage)
+    if scene_path_regex is None:
+        scene_path_regex = '.*'
+    if prim_types is not None and not isinstance(prim_types, (list, tuple)):
+        prim_types = [prim_types]
+    out = []
+    for path, prim in stage.walk():
+        if prim_types is not None and prim.type_name not in prim_types:
+            continue
+        if re.match(scene_path_regex, path):
+            out.append(path)
+    return out
+
+
+# --------------------------------------------------------------------------
+# meshes
+# --------------------------------------------------------------------------
+
+def add_mesh(stage, scene_path, vertices=None, faces=None, uvs=None,
+             face_uvs_idx=None, face_normals=None, time=None):
+    """Adds (or time-extends) a mesh prim (reference ``io/usd.py:636``)."""
+    prim = stage.define_prim(scene_path, 'Mesh')
+    if faces is not None:
+        faces_np = np.asarray(faces)
+        counts = np.full(faces_np.shape[0], faces_np.shape[1], np.int64)
+        if time is None:
+            prim.attrs['faceVertexCounts'] = ('int[]', counts)
+            prim.attrs['faceVertexIndices'] = ('int[]', faces_np.reshape(-1))
+        else:
+            prim.time_attrs.setdefault(
+                'faceVertexCounts', ('int[]', {}))[1][float(time)] = counts
+            prim.time_attrs.setdefault(
+                'faceVertexIndices',
+                ('int[]', {}))[1][float(time)] = faces_np.reshape(-1)
+    if vertices is not None:
+        pts = np.asarray(vertices)
+        if time is None:
+            prim.attrs['points'] = ('point3f[]', pts)
+        else:
+            prim.time_attrs.setdefault(
+                'points', ('point3f[]', {}))[1][float(time)] = pts
+    if uvs is not None:
+        uvs_np = np.asarray(uvs)
+        if time is None:
+            prim.attrs['primvars:st'] = ('texCoord2f[]', uvs_np)
+        else:
+            prim.time_attrs.setdefault(
+                'primvars:st', ('texCoord2f[]', {}))[1][float(time)] = uvs_np
+    if face_uvs_idx is not None:
+        arr = np.asarray(face_uvs_idx).reshape(-1)
+        if time is None:
+            prim.attrs['primvars:st:indices'] = ('int[]', arr)
+        else:
+            prim.time_attrs.setdefault(
+                'primvars:st:indices', ('int[]', {}))[1][float(time)] = arr
+    return stage
+
+
+def export_mesh(file_path, scene_path='/World/Meshes/mesh_0', vertices=None,
+                faces=None, uvs=None, face_uvs_idx=None, face_normals=None,
+                up_axis='Y', time=None):
+    """Exports a single mesh to USD (reference ``io/usd.py:729``)."""
+    stage = _open(file_path)
+    stage.up_axis = up_axis
+    add_mesh(stage, scene_path, vertices, faces, uvs, face_uvs_idx,
+             face_normals, time=time)
+    stage.save()
+    return stage
+
+
+def export_meshes(file_path, scene_paths=None, vertices=None, faces=None,
+                  up_axis='Y', times=None):
+    """Exports multiple meshes (reference ``io/usd.py``)."""
+    stage = _open(file_path)
+    stage.up_axis = up_axis
+    n = len(vertices)
+    if scene_paths is None:
+        scene_paths = [f'/World/Meshes/mesh_{i}' for i in range(n)]
+    if times is None:
+        times = [None] * n
+    for sp, v, f, t in zip(scene_paths, vertices, faces, times):
+        add_mesh(stage, sp, v, f, time=t)
+    stage.save()
+    return stage
+
+
+def _value_at(prim, name, time):
+    if name in prim.attrs:
+        return prim.attrs[name][1]
+    if name in prim.time_attrs:
+        samples = prim.time_attrs[name][1]
+        if not samples:
+            return None
+        if time is None:
+            time = sorted(samples)[0]
+        # closest available sample at or before `time`
+        keys = sorted(samples)
+        chosen = keys[0]
+        for k in keys:
+            if k <= float(time):
+                chosen = k
+        return samples[chosen]
+    return None
+
+
+def import_mesh(file_path_or_stage, scene_path=None, time=None):
+    """Imports a single mesh (reference ``io/usd.py:463``).
+
+    Returns:
+        namedtuple (vertices, faces).
+    """
+    stage = _open(file_path_or_stage)
+    if scene_path is None:
+        paths = get_scene_paths(stage, prim_types='Mesh')
+        if not paths:
+            raise ValueError(f'no Mesh prim found in {stage.file_path}')
+        scene_path = paths[0]
+    prim = stage.get_prim(scene_path)
+    if prim is None:
+        raise ValueError(f'prim {scene_path} not found')
+    pts = _value_at(prim, 'points', time)
+    counts = _value_at(prim, 'faceVertexCounts', time)
+    indices = _value_at(prim, 'faceVertexIndices', time)
+    vertices = jnp.asarray(np.asarray(pts, np.float32)) \
+        if pts is not None else None
+    faces = None
+    if indices is not None and counts is not None and len(counts):
+        fs = int(counts[0])
+        faces = jnp.asarray(np.asarray(indices, np.int64).reshape(-1, fs))
+    return mesh_return_type(vertices, faces)
+
+
+def import_meshes(file_path_or_stage, scene_paths=None, times=None):
+    """Imports multiple meshes (reference ``io/usd.py:517``)."""
+    stage = _open(file_path_or_stage)
+    if scene_paths is None:
+        scene_paths = get_scene_paths(stage, prim_types='Mesh')
+    if times is None:
+        times = [None] * len(scene_paths)
+    out = [import_mesh(stage, sp, t) for sp, t in zip(scene_paths, times)]
+    if not out:
+        return [], []
+    vertices, faces = zip(*out)
+    return list(vertices), list(faces)
+
+
+# --------------------------------------------------------------------------
+# pointclouds
+# --------------------------------------------------------------------------
+
+def add_pointcloud(stage, scene_path, points, colors=None, normals=None,
+                   time=None):
+    """Adds a pointcloud prim (reference ``io/usd.py:958``)."""
+    prim = stage.define_prim(scene_path, 'Points')
+    pts = np.asarray(points)
+    if time is None:
+        prim.attrs['points'] = ('point3f[]', pts)
+    else:
+        prim.time_attrs.setdefault(
+            'points', ('point3f[]', {}))[1][float(time)] = pts
+    if colors is not None:
+        arr = np.asarray(colors)
+        if time is None:
+            prim.attrs['primvars:displayColor'] = ('color3f[]', arr)
+        else:
+            prim.time_attrs.setdefault(
+                'primvars:displayColor',
+                ('color3f[]', {}))[1][float(time)] = arr
+    if normals is not None:
+        arr = np.asarray(normals)
+        if time is None:
+            prim.attrs['normals'] = ('normal3f[]', arr)
+        else:
+            prim.time_attrs.setdefault(
+                'normals', ('normal3f[]', {}))[1][float(time)] = arr
+    return stage
+
+
+def export_pointcloud(file_path, pointcloud,
+                      scene_path='/World/PointClouds/pointcloud_0',
+                      colors=None, time=None):
+    """Reference: ``io/usd.py:1037``."""
+    stage = _open(file_path)
+    add_pointcloud(stage, scene_path, pointcloud, colors=colors, time=time)
+    stage.save()
+    return stage
+
+
+def import_pointcloud(file_path_or_stage, scene_path=None, time=None):
+    """Reference: ``io/usd.py:834``. Returns (points, colors, normals)."""
+    stage = _open(file_path_or_stage)
+    if scene_path is None:
+        paths = get_scene_paths(stage, prim_types='Points')
+        if not paths:
+            raise ValueError('no Points prim found')
+        scene_path = paths[0]
+    prim = stage.get_prim(scene_path)
+    pts = _value_at(prim, 'points', time)
+    colors = _value_at(prim, 'primvars:displayColor', time)
+    normals = _value_at(prim, 'normals', time)
+    return pointcloud_return_type(
+        jnp.asarray(np.asarray(pts, np.float32)),
+        None if colors is None else jnp.asarray(np.asarray(colors,
+                                                           np.float32)),
+        None if normals is None else jnp.asarray(np.asarray(normals,
+                                                            np.float32)))
+
+
+# --------------------------------------------------------------------------
+# voxelgrids
+# --------------------------------------------------------------------------
+
+def add_voxelgrid(stage, scene_path, voxelgrid, time=None):
+    """Adds a voxelgrid prim as occupied indices + resolution
+    (reference ``io/usd.py:1206``, PointInstancer there)."""
+    prim = stage.define_prim(scene_path, 'PointInstancer')
+    vg = np.asarray(voxelgrid)
+    idx = np.argwhere(vg > 0.5).astype(np.int64)
+    prim.attrs['resolution'] = ('int', vg.shape[0])
+    if time is None:
+        prim.attrs['positions'] = ('point3f[]', idx.astype(np.float64))
+    else:
+        prim.time_attrs.setdefault(
+            'positions',
+            ('point3f[]', {}))[1][float(time)] = idx.astype(np.float64)
+    return stage
+
+
+def export_voxelgrid(file_path, voxelgrid,
+                     scene_path='/World/VoxelGrids/voxelgrid_0', time=None):
+    """Reference: ``io/usd.py:1278``."""
+    stage = _open(file_path)
+    add_voxelgrid(stage, scene_path, voxelgrid, time=time)
+    stage.save()
+    return stage
+
+
+def import_voxelgrid(file_path_or_stage, scene_path=None, time=None):
+    """Reference: ``io/usd.py:1113``. Returns a bool (D, D, D) grid."""
+    stage = _open(file_path_or_stage)
+    if scene_path is None:
+        paths = get_scene_paths(stage, prim_types='PointInstancer')
+        if not paths:
+            raise ValueError('no PointInstancer prim found')
+        scene_path = paths[0]
+    prim = stage.get_prim(scene_path)
+    res = int(prim.attrs['resolution'][1])
+    pos = _value_at(prim, 'positions', time)
+    grid = np.zeros((res, res, res), bool)
+    if pos is not None and len(pos):
+        idx = np.asarray(pos, np.int64)
+        grid[idx[:, 0], idx[:, 1], idx[:, 2]] = True
+    return jnp.asarray(grid)
+
+
+# --------------------------------------------------------------------------
+# materials
+# --------------------------------------------------------------------------
+
+def add_material(file_path, scene_path, material, texture_dir='.'):
+    """Writes a PBRMaterial as a Shader prim; textures as side PNGs.
+
+    Reference: the pxr UsdShade export in ``io/materials.py``.
+    """
+    from PIL import Image
+    from .materials import _VALUE_FIELDS, _TEXTURE_FIELDS
+    stage = _open(file_path)
+    prim = stage.define_prim(scene_path, 'Shader')
+    prim.attrs['info:id'] = ('string', 'UsdPreviewSurface')
+    for field in _VALUE_FIELDS:
+        val = getattr(material, field)
+        if isinstance(val, tuple):
+            prim.attrs[field] = ('float[]', np.asarray(val))
+        else:
+            prim.attrs[field] = ('float', float(val))
+    prim.attrs['is_specular_workflow'] = ('bool',
+                                          material.is_specular_workflow)
+    out_dir = os.path.join(os.path.dirname(file_path), texture_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    for field in _TEXTURE_FIELDS:
+        tex = getattr(material, field)
+        if tex is None:
+            continue
+        arr = np.asarray(tex)
+        if arr.ndim == 3 and arr.shape[0] in (1, 3):
+            arr = np.transpose(arr, (1, 2, 0))
+        if arr.shape[-1] == 1:
+            arr = arr[..., 0]
+        img = Image.fromarray(
+            np.clip(arr * 255., 0, 255).astype(np.uint8))
+        name = f"{scene_path.strip('/').replace('/', '_')}_{field}.png"
+        img.save(os.path.join(out_dir, name))
+        prim.attrs[f'{field}_file'] = (
+            'string', os.path.join(texture_dir, name))
+    stage.save()
+    return stage
+
+
+def import_material(file_path, scene_path):
+    """Reads a PBRMaterial written by :func:`add_material`."""
+    from PIL import Image
+    from .materials import PBRMaterial, _VALUE_FIELDS, _TEXTURE_FIELDS
+    stage = _open(file_path)
+    prim = stage.get_prim(scene_path)
+    if prim is None:
+        raise ValueError(f'prim {scene_path} not found')
+    kwargs = {}
+    for field in _VALUE_FIELDS:
+        if field in prim.attrs:
+            v = prim.attrs[field][1]
+            kwargs[field] = tuple(np.asarray(v).tolist()) \
+                if prim.attrs[field][0] == 'float[]' else float(v)
+    spec = bool(prim.attrs.get('is_specular_workflow', ('bool', False))[1])
+    for field in _TEXTURE_FIELDS:
+        key = f'{field}_file'
+        if key in prim.attrs:
+            rel = prim.attrs[key][1]
+            img = Image.open(os.path.join(os.path.dirname(file_path), rel))
+            arr = np.asarray(img).astype(np.float32) / 255.
+            if arr.ndim == 2:
+                arr = arr[None]
+            else:
+                arr = np.transpose(arr, (2, 0, 1))
+            kwargs[field] = jnp.asarray(arr)
+    name = scene_path.strip('/').split('/')[-1]
+    return PBRMaterial(name=name, is_specular_workflow=spec, **kwargs)

@@ -1,1 +1,1 @@
-
+from .timelapse import Timelapse, TimelapseParser

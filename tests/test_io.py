@@ -1,0 +1,210 @@
+"""I/O: OBJ/OFF/USD round trips, materials, datasets, Timelapse."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from kaolin_tpu.io import obj, off, usd, utils as io_utils
+from kaolin_tpu.io.materials import PBRMaterial
+from kaolin_tpu.io.dataset import (Cache, CachedDataset, KaolinDataset,
+                                   ProcessedDataset, CombinationDataset)
+from kaolin_tpu.visualize import Timelapse, TimelapseParser
+
+
+OBJ_TEXT = """
+mtllib test.mtl
+v 0 0 0
+v 1 0 0
+v 0 1 0
+v 0 0 1
+vt 0 0
+vt 1 0
+vt 0 1
+vn 0 0 1
+usemtl red
+f 1/1/1 2/2/1 3/3/1
+f 1/1/1 3/3/1 4/2/1
+"""
+
+MTL_TEXT = """
+newmtl red
+Kd 1.0 0.0 0.0
+Ka 0.1 0.1 0.1
+"""
+
+
+@pytest.fixture
+def obj_file(tmp_path):
+    p = tmp_path / 'test.obj'
+    p.write_text(OBJ_TEXT)
+    (tmp_path / 'test.mtl').write_text(MTL_TEXT)
+    return str(p)
+
+
+def test_obj_import(obj_file):
+    mesh = obj.import_mesh(obj_file, with_materials=True, with_normals=True)
+    assert mesh.vertices.shape == (4, 3)
+    np.testing.assert_array_equal(np.asarray(mesh.faces),
+                                  [[0, 1, 2], [0, 2, 3]])
+    assert mesh.uvs.shape == (3, 2)
+    np.testing.assert_array_equal(np.asarray(mesh.face_uvs_idx),
+                                  [[0, 1, 2], [0, 2, 1]])
+    assert len(mesh.materials) == 1
+    np.testing.assert_allclose(np.asarray(mesh.materials[0]['Kd']),
+                               [1., 0., 0.])
+    np.testing.assert_array_equal(np.asarray(mesh.materials_order), [[0, 0]])
+    assert mesh.vertex_normals.shape == (1, 3)
+
+
+def test_obj_heterogeneous(tmp_path):
+    p = tmp_path / 'het.obj'
+    p.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nv 0 0 1\n"
+                 "f 1 2 3\nf 1 2 3 4\n")
+    with pytest.raises(io_utils.NonHomogeneousMeshError):
+        obj.import_mesh(str(p))
+    mesh = obj.import_mesh(
+        str(p), heterogeneous_mesh_handler=
+        io_utils.heterogeneous_mesh_handler_naive_homogenize)
+    np.testing.assert_array_equal(np.asarray(mesh.faces),
+                                  [[0, 1, 2], [0, 1, 2], [0, 2, 3]])
+
+
+def test_off_import(tmp_path):
+    p = tmp_path / 'test.off'
+    p.write_text("OFF\n4 2 0\n0 0 0\n1 0 0\n0 1 0\n0 0 1\n"
+                 "3 0 1 2 255 0 0\n3 0 2 3 0 255 0\n")
+    mesh = off.import_mesh(str(p), with_face_colors=True)
+    assert mesh.vertices.shape == (4, 3)
+    np.testing.assert_array_equal(np.asarray(mesh.faces),
+                                  [[0, 1, 2], [0, 2, 3]])
+    np.testing.assert_array_equal(np.asarray(mesh.face_colors),
+                                  [[255, 0, 0], [0, 255, 0]])
+
+
+def test_usd_mesh_roundtrip(tmp_path):
+    path = str(tmp_path / 'mesh.usda')
+    v = jnp.asarray(np.random.default_rng(0).normal(size=(5, 3)),
+                    jnp.float32)
+    f = jnp.asarray([[0, 1, 2], [2, 3, 4]])
+    usd.export_mesh(path, '/World/mesh', vertices=v, faces=f)
+    out = usd.import_mesh(path, '/World/mesh')
+    np.testing.assert_allclose(np.asarray(out.vertices), np.asarray(v),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out.faces), np.asarray(f))
+
+
+def test_usd_timesamples(tmp_path):
+    path = str(tmp_path / 'anim.usda')
+    f = jnp.asarray([[0, 1, 2]])
+    stage = usd.create_stage(path)
+    for t in [0, 5, 10]:
+        usd.add_mesh(stage, '/World/m', jnp.full((3, 3), float(t)), f,
+                     time=t)
+    stage.save()
+    for t in [0, 5, 10]:
+        out = usd.import_mesh(path, '/World/m', time=t)
+        np.testing.assert_allclose(np.asarray(out.vertices), float(t))
+
+
+def test_usd_pointcloud_voxelgrid_roundtrip(tmp_path):
+    pc_path = str(tmp_path / 'pc.usda')
+    pts = jnp.asarray(np.random.default_rng(1).normal(size=(20, 3)),
+                      jnp.float32)
+    usd.export_pointcloud(pc_path, pts)
+    out = usd.import_pointcloud(pc_path)
+    np.testing.assert_allclose(np.asarray(out.points), np.asarray(pts),
+                               rtol=1e-6)
+
+    vg_path = str(tmp_path / 'vg.usda')
+    vg = np.zeros((4, 4, 4))
+    vg[1, 2, 3] = vg[0, 0, 0] = 1
+    usd.export_voxelgrid(vg_path, jnp.asarray(vg))
+    out = np.asarray(usd.import_voxelgrid(vg_path))
+    np.testing.assert_array_equal(out, vg > 0.5)
+
+
+def test_usd_scene_paths(tmp_path):
+    path = str(tmp_path / 'multi.usda')
+    stage = usd.create_stage(path)
+    for i in range(3):
+        usd.add_mesh(stage, f'/World/Meshes/mesh_{i}',
+                     jnp.zeros((3, 3)), jnp.asarray([[0, 1, 2]]))
+    usd.add_pointcloud(stage, '/World/pc', jnp.zeros((4, 3)))
+    stage.save()
+    meshes = usd.get_scene_paths(path, prim_types='Mesh')
+    assert len(meshes) == 3
+    pcs = usd.get_scene_paths(path, prim_types='Points')
+    assert pcs == ['/World/pc']
+
+
+def test_material_roundtrip(tmp_path):
+    path = str(tmp_path / 'mat.usda')
+    usd.create_stage(path)
+    tex = jnp.asarray(np.random.default_rng(0).random((3, 8, 8)),
+                      jnp.float32)
+    mat = PBRMaterial(name='m0', diffuse_color=(0.2, 0.3, 0.4),
+                      roughness_value=0.7, metallic_value=0.9,
+                      diffuse_texture=tex)
+    mat.write_to_usd(path, '/World/Looks/m0')
+    back = PBRMaterial.read_from_usd(path, '/World/Looks/m0')
+    np.testing.assert_allclose(back.diffuse_color, (0.2, 0.3, 0.4),
+                               rtol=1e-5)
+    assert abs(back.roughness_value - 0.7) < 1e-6
+    assert abs(back.metallic_value - 0.9) < 1e-6
+    np.testing.assert_allclose(np.asarray(back.diffuse_texture),
+                               np.asarray(tex), atol=2 / 255.)
+
+
+class _ToyDataset(KaolinDataset):
+    def __len__(self):
+        return 5
+
+    def get_data(self, i):
+        return np.full((2, 2), i, np.float32)
+
+    def get_attributes(self, i):
+        return {'name': f'item_{i}'}
+
+
+def test_datasets(tmp_path):
+    ds = _ToyDataset()
+    item = ds[2]
+    assert item.attributes['name'] == 'item_2'
+    cached = CachedDataset(ds, str(tmp_path / 'cache'))
+    got = cached[3]
+    np.testing.assert_array_equal(got.data, np.full((2, 2), 3))
+    # second instantiation hits the disk cache
+    cached2 = CachedDataset(ds, str(tmp_path / 'cache'))
+    np.testing.assert_array_equal(cached2[3].data, np.full((2, 2), 3))
+
+    processed = ProcessedDataset(ds, lambda d: d * 2,
+                                 cache_dir=str(tmp_path / 'proc'))
+    np.testing.assert_array_equal(processed[2].data, np.full((2, 2), 4))
+
+    combo = CombinationDataset([ds, ds])
+    assert len(combo) == 5
+    np.testing.assert_array_equal(combo[1].data[0], combo[1].data[1])
+
+
+def test_timelapse_roundtrip(tmp_path):
+    logdir = str(tmp_path / 'logs')
+    tl = Timelapse(logdir)
+    f = jnp.asarray([[0, 1, 2]])
+    for it in [0, 10]:
+        tl.add_mesh_batch(iteration=it, category='fit',
+                          vertices_list=[jnp.full((3, 3), float(it))],
+                          faces_list=[f])
+    tl.add_pointcloud_batch(iteration=0, category='pc',
+                            pointcloud_list=[jnp.zeros((7, 3))])
+    parser = TimelapseParser(logdir)
+    mesh_files = parser.get_filepaths('fit', 'mesh')
+    assert len(mesh_files) == 1
+    out = usd.import_mesh(mesh_files[0], time=10)
+    np.testing.assert_allclose(np.asarray(out.vertices), 10.)
+    assert parser.num_items('pointcloud') == 1
+    assert not parser.check_for_updates()
+    tl.add_mesh_batch(iteration=20, category='fit',
+                      vertices_list=[jnp.zeros((3, 3))], faces_list=[f])
+    assert parser.check_for_updates()
