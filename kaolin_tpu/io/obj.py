@@ -71,6 +71,14 @@ def import_mesh(path, with_materials=False, with_normals=False,
     """
     if error_handler is None:
         error_handler = default_error_handler
+    if not with_materials and not with_normals:
+        # native fast path for plain geometry (csrc/core.cpp)
+        from ..native import obj_parse_fast
+        fast = obj_parse_fast(path)
+        if fast is not None and fast[2] == 3:
+            v, f, _ = fast
+            return return_type(jnp.asarray(v), jnp.asarray(f), None, None,
+                               None, None, None, None)
     vertices, faces, uvs = [], [], []
     face_uvs_idx, vertex_normals, face_normals = [], [], []
     materials_order = []

@@ -115,6 +115,10 @@ def unbatched_points_to_octree(points, level, sorted=False):
         jnp uint8 array of octree bytes.
     """
     pts = np.asarray(points)
+    from ...native import points_to_octree_fast
+    fast = points_to_octree_fast(pts.reshape(-1, 3), level)
+    if fast is not None:
+        return jnp.asarray(fast)
     morton = np.unique(_morton_np(pts.reshape(-1, 3)))
     octree_levels = []
     cur = morton
