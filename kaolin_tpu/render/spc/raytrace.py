@@ -38,6 +38,7 @@ __all__ = [
     'cumprod',
     'exponential_integration',
     'generate_primary_rays',
+    'generate_shadow_rays',
 ]
 
 
@@ -391,3 +392,34 @@ def generate_primary_rays(height, width, eye, at, up, fov, dtype=jnp.float32):
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
     o = jnp.broadcast_to(eye, dirs.shape).astype(dtype)
     return o, dirs
+
+
+def generate_shadow_rays(ray_o, ray_d, light, plane):
+    """Shadow rays toward a light for rays hitting a ground plane.
+
+    Reference: deprecated CUDA op ``generate_shadow_rays_cuda``
+    (``raytrace_cuda.cu:799-897``): intersect each primary ray with the
+    plane; for hits, emit a ray from the light toward the hit point.
+
+    Args:
+        ray_o, ray_d: (num_rays, 3) primary rays.
+        light: (3,) light position.
+        plane: (4,) plane coefficients (a, b, c, d).
+
+    Returns:
+        (src (N, 3) = light origin, dst (N, 3) = direction light->point,
+        map (N,) int32 indices of the originating primary rays) for the N
+        rays that hit the plane (dynamically sized; host-side trim).
+    """
+    a = jnp.sum(ray_o * plane[:3], axis=-1) + plane[3]
+    b = jnp.sum(ray_d * plane[:3], axis=-1)
+    t = -a / b
+    hit = (jnp.abs(b) > 1e-3) & (t > 0.)
+    pts = ray_o + t[:, None] * ray_d
+    hit_np = np.asarray(hit)
+    idx = np.nonzero(hit_np)[0]
+    hit_pts = pts[jnp.asarray(idx)]
+    dst = hit_pts - light[None]
+    dst = dst / jnp.linalg.norm(dst, axis=-1, keepdims=True)
+    src = jnp.broadcast_to(light, dst.shape)
+    return src, dst, jnp.asarray(idx.astype(np.int32))
