@@ -79,9 +79,13 @@ def _sgn(d):
     return jnp.where(jnp.signbit(d), 1., -1.).astype(d.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=('level', 'cap', 'with_exit'))
+@functools.partial(jax.jit, static_argnames=('level', 'cap', 'with_exit',
+                                             'cap_schedule',
+                                             'return_level_counts'))
 def unbatched_raytrace_fixed(octree, point_hierarchy, exsum, origin,
-                             direction, level, cap, with_exit=False):
+                             direction, level, cap, with_exit=False,
+                             cap_schedule=None,
+                             return_level_counts=False):
     """Statically-shaped SPC ray trace.
 
     Per-level buffer capacities grow as ``min(cap, num_rays * 3 * 2^l)``
@@ -110,73 +114,84 @@ def unbatched_raytrace_fixed(octree, point_hierarchy, exsum, origin,
     assert num_rays <= cap, (num_rays, cap)
     dtype = origin.dtype
 
-    inv = 1.0 / direction              # matches decide_cuda_kernel (no eps)
-    sgn = _sgn(direction)
-    esgn = _sgn(-direction)
+    # packed per-node table: octree byte (8 bits) | exsum << 8 — one gather
+    # yields both; point coords packed 3x16 bits into one int64
+    node_tbl = octree.astype(jnp.int32) \
+        | (exsum[:octree.shape[0]].astype(jnp.int32) << 8)
+    ph = point_hierarchy.astype(jnp.int32)
+    ph_xy = (ph[:, 0] & 0xFFFF) | ((ph[:, 1] & 0xFFFF) << 16)
+    ph_z = ph[:, 2]
 
-    # column-split 1D tables: on this TPU backend 1D-from-1D gathers are
-    # fast while row gathers of (N, k) arrays are not
-    phx = point_hierarchy[:, 0].astype(jnp.int32)
-    phy = point_hierarchy[:, 1].astype(jnp.int32)
-    phz = point_hierarchy[:, 2].astype(jnp.int32)
-    oct_i32 = octree.astype(jnp.int32)
-    exsum_i32 = exsum.astype(jnp.int32)
     ocols = [origin[:, a] for a in range(3)]
     dcols = [direction[:, a] for a in range(3)]
-    icols = [inv[:, a] for a in range(3)]
-    scols = [sgn[:, a] for a in range(3)]
-    escols = [esgn[:, a] for a in range(3)]
 
-    def gather3(cols, idx):
-        return jnp.stack([jnp.take(c, idx) for c in cols], axis=-1)
+    def take_p(idx):
+        xy = jnp.take(ph_xy, idx)
+        z = jnp.take(ph_z, idx)
+        return jnp.stack([xy & 0xFFFF, (xy >> 16) & 0xFFFF, z],
+                         axis=-1).astype(dtype)
+
+    def gather_rays(safe_r):
+        o = jnp.stack([jnp.take(c, safe_r) for c in ocols], axis=-1)
+        d = jnp.stack([jnp.take(c, safe_r) for c in dcols], axis=-1)
+        return o, d
 
     ridx = jnp.arange(num_rays, dtype=jnp.int32)
     pidx = jnp.zeros((num_rays,), jnp.int32)
     count = jnp.asarray(num_rays, jnp.int32)
+    level_counts = []
 
     for l in range(level):
         c_in = ridx.shape[0]
         # proposals at level l+1: up to 8 children per level-l cell the ray
-        # crosses (<= 3*2^l - 2 cells, and <= 8^l cells total)
+        # crosses (<= 3*2^l - 2 cells, and <= 8^l cells total); an explicit
+        # cap_schedule (e.g. from plan_raytrace) tightens the buffers
         c_out = min(cap, num_rays * 8 * min(8 ** l, 3 * 2 ** l))
+        if cap_schedule is not None:
+            c_out = min(c_out, int(cap_schedule[l]))
         valid = (jnp.arange(c_in) < count) & (pidx >= 0)
         safe_p = jnp.maximum(pidx, 0)
         safe_r = jnp.maximum(ridx, 0)
-        p = jnp.stack([jnp.take(phx, safe_p), jnp.take(phy, safe_p),
-                       jnp.take(phz, safe_p)], axis=-1).astype(dtype)
+        p = take_p(safe_p)
         r = 1.0 / (1 << l)
         vc = r * (2. * p + 1.) - 1.
-        o = gather3(ocols, safe_r)
-        d = gather3(dcols, safe_r)
-        i_ = gather3(icols, safe_r)
-        s_ = gather3(scols, safe_r)
-        depth = _ray_aabb(o, d, i_, s_, vc, r)
+        o, d = gather_rays(safe_r)
+        inv = 1.0 / d
+        sgn = _sgn(d)
+        depth = _ray_aabb(o, d, inv, sgn, vc, r)
         hit = (depth != 0.) & valid                # raytrace_cuda.cu:117
 
-        bits = jnp.take(oct_i32, safe_p)
+        node = jnp.take(node_tbl, safe_p)
+        bits = node & 0xFF
         n_children = jnp.where(hit, jnp.bitwise_count(
             bits.astype(jnp.uint8)).astype(jnp.int32), 0)
         incl = jnp.cumsum(n_children)
         total = incl[-1]
+        base = incl - n_children
 
-        # gather-based compaction: output k maps to source nugget
-        # i = searchsorted(incl, k, 'right'), child rank j = k - base[i]
+        # compaction: output k -> source nugget i. Sources are emitted at
+        # monotonically increasing bases, so a scatter of i to base[i]
+        # followed by a forward cumulative max reconstructs the mapping
+        # (cheaper than a searchsorted binary search on this backend).
+        mark = jnp.full((c_out,), -1, jnp.int32)
+        scatter_pos = jnp.where(n_children > 0, base, c_out)
+        mark = mark.at[scatter_pos].max(
+            jnp.arange(c_in, dtype=jnp.int32), mode='drop')
+        i = jax.lax.associative_scan(jnp.maximum, mark)
+        i = jnp.maximum(i, 0)
         k = jnp.arange(c_out, dtype=jnp.int32)
-        i = jnp.searchsorted(incl, k, side='right').astype(jnp.int32)
-        i = jnp.minimum(i, c_in - 1)
-        j = k - (jnp.take(incl, i) - jnp.take(n_children, i))
+        j = k - jnp.take(base, i)
 
         src_p = jnp.take(safe_p, i)
         src_r = jnp.take(ridx, i)
-        bits_k = jnp.take(bits, i)
+        node_k = jnp.take(node_tbl, src_p)
+        bits_k = node_k & 0xFF
+        p_k = take_p(src_p)
+        o_k, _ = gather_rays(jnp.maximum(src_r, 0))
         # ray-origin octant code (subdivide_cuda_kernel:252-259)
-        fx = (0.5 * jnp.take(ocols[0], jnp.take(safe_r, i)) + 0.5) \
-            - r * (jnp.take(phx, src_p).astype(dtype) + 0.5)
-        fy = (0.5 * jnp.take(ocols[1], jnp.take(safe_r, i)) + 0.5) \
-            - r * (jnp.take(phy, src_p).astype(dtype) + 0.5)
-        fz = (0.5 * jnp.take(ocols[2], jnp.take(safe_r, i)) + 0.5) \
-            - r * (jnp.take(phz, src_p).astype(dtype) + 0.5)
-        code = ((fx > 0) * 4 + (fy > 0) * 2 + (fz > 0) * 1).astype(jnp.int32)
+        frac = (0.5 * o_k + 0.5) - r * (p_k + 0.5)
+        code = ((frac[:, 0] > 0) * 4 + (frac[:, 1] > 0) * 2
+                + (frac[:, 2] > 0) * 1).astype(jnp.int32)
         order = code[:, None] ^ _GRAY_RANK[None, :]        # (c_out, 8)
         child_bit = ((bits_k[:, None] >> order) & 1) > 0
         within = jnp.cumsum(child_bit.astype(jnp.int32), axis=1)
@@ -186,30 +201,27 @@ def unbatched_raytrace_fixed(octree, point_hierarchy, exsum, origin,
         cnt = jnp.bitwise_count(
             (bits_k & ((2 << octant) - 1)).astype(jnp.uint32)
         ).astype(jnp.int32)
-        child_pidx = jnp.take(exsum_i32, src_p) + cnt
+        child_pidx = (node_k >> 8) + cnt
 
         in_range = k < total
         ridx = jnp.where(in_range, src_r, -1)
         pidx = jnp.where(in_range, child_pidx, -1)
         count = jnp.minimum(total, c_out).astype(jnp.int32)
+        level_counts.append(total)
 
     # final level: keep entry depth > 0 (and exit > 0 if with_exit)
     c_in = ridx.shape[0]
     valid = (jnp.arange(c_in) < count) & (pidx >= 0)
     safe_p = jnp.maximum(pidx, 0)
     safe_r = jnp.maximum(ridx, 0)
-    p = jnp.stack([jnp.take(phx, safe_p), jnp.take(phy, safe_p),
-                   jnp.take(phz, safe_p)], axis=-1).astype(dtype)
+    p = take_p(safe_p)
     r = 1.0 / (1 << level)
     vc = r * (2. * p + 1.) - 1.
-    o = gather3(ocols, safe_r)
-    d = gather3(dcols, safe_r)
-    i_ = gather3(icols, safe_r)
-    s_ = gather3(scols, safe_r)
-    entry = _ray_aabb(o, d, i_, s_, vc, r)
+    o, d = gather_rays(safe_r)
+    inv = 1.0 / d
+    entry = _ray_aabb(o, d, inv, _sgn(d), vc, r)
     if with_exit:
-        es_ = gather3(escols, safe_r)
-        exit_ = _ray_aabb(o, d, i_, es_, vc, r)
+        exit_ = _ray_aabb(o, d, inv, _sgn(-d), vc, r)
         keep = (entry > 0.) & (exit_ > 0.) & valid
         depth_cols = [entry, exit_]
     else:
@@ -219,16 +231,43 @@ def unbatched_raytrace_fixed(octree, point_hierarchy, exsum, origin,
     keep_i = keep.astype(jnp.int32)
     incl = jnp.cumsum(keep_i)
     total = incl[-1]
+    base = incl - keep_i
+    mark = jnp.full((cap,), -1, jnp.int32)
+    scatter_pos = jnp.where(keep, base, cap)
+    mark = mark.at[scatter_pos].max(
+        jnp.arange(c_in, dtype=jnp.int32), mode='drop')
+    i = jnp.maximum(jax.lax.associative_scan(jnp.maximum, mark), 0)
     k = jnp.arange(cap, dtype=jnp.int32)
-    i = jnp.searchsorted(incl, k, side='right').astype(jnp.int32)
-    i = jnp.minimum(i, c_in - 1)
     in_range = k < total
     out_ridx = jnp.where(in_range, jnp.take(ridx, i), -1)
     out_pidx = jnp.where(in_range, jnp.take(pidx, i), -1)
     out_depth = jnp.stack(
         [jnp.where(in_range, jnp.take(c, i), 0.) for c in depth_cols],
         axis=-1)
+    if return_level_counts:
+        lc = jnp.stack(level_counts) if level_counts else \
+            jnp.zeros((0,), jnp.int32)
+        return out_ridx, out_pidx, out_depth, total, lc
     return out_ridx, out_pidx, out_depth, total
+
+
+def plan_raytrace(octree, point_hierarchy, exsum, origin, direction,
+                  level, cap=None, margin=1.25):
+    """Probes a trace and returns a tight per-level ``cap_schedule``
+    (tuple, static) for :func:`unbatched_raytrace_fixed` — per-level
+    buffers sized to the actual nugget counts (x ``margin``, rounded up
+    to 1024). Use for repeated tracing of the same scene (training
+    loops): buffers shrink from the worst-case bound to the observed
+    occupancy."""
+    num_rays = origin.shape[0]
+    if cap is None:
+        cap = 64 * num_rays
+    *_, counts = unbatched_raytrace_fixed(
+        octree, point_hierarchy, exsum, origin, direction, int(level), cap,
+        return_level_counts=True)
+    counts = np.asarray(counts)
+    sched = tuple(int(-(-int(c * margin) // 1024) * 1024) for c in counts)
+    return sched
 
 
 def unbatched_raytrace(octree, point_hierarchy, pyramid, exsum, origin,
