@@ -1,0 +1,92 @@
+"""Multi-device scaling benchmark: DIB-R rendering sharded over the
+('data', 'pix') mesh.
+
+On real multi-chip hardware this measures Mpixels/s at 1..N chips and the
+scaling efficiency (BASELINE.md target: >= 85%). Without multiple real
+chips it runs on N virtual CPU devices (set by --devices), which
+validates the sharded path end-to-end and reports *relative* scaling —
+virtual-device numbers share one physical CPU, so efficiency there only
+checks that the collectives/partitioning add no pathological overhead.
+
+Prints one JSON line per device count:
+{"devices": N, "mpixels_per_s": X, "efficiency_vs_1": Y}
+"""
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--devices', type=int, default=8,
+                   help='virtual device count when no multi-chip TPU')
+    p.add_argument('--res', type=int, default=256)
+    p.add_argument('--iters', type=int, default=5)
+    p.add_argument('--force-cpu', action='store_true', default=None,
+                   help='use virtual CPU devices even if a TPU is present')
+    args = p.parse_args()
+
+    # env must be set BEFORE jax initializes
+    if args.force_cpu or args.force_cpu is None:
+        os.environ['XLA_FLAGS'] = (
+            os.environ.get('XLA_FLAGS', '')
+            + f' --xla_force_host_platform_device_count={args.devices}')
+    import jax
+    if args.force_cpu or args.force_cpu is None:
+        jax.config.update('jax_platforms', 'cpu')
+
+    import jax.numpy as jnp
+    import numpy as np
+    import kaolin_tpu as kal
+    from kaolin_tpu.parallel import make_mesh, sharded_dibr_rasterization
+    from __graft_entry__ import _scene
+
+    n_total = jax.device_count()
+    H = W = args.res
+    results = []
+    base = None
+    counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_total]
+    for n in counts:
+        mesh = make_mesh(data=1, pix=n, devices=jax.devices()[:n])
+        verts, faces, cam_rot, cam_trans, cam_proj = _scene(1, 2,
+                                                            jnp.float32)
+
+        @jax.jit
+        def step(vertices):
+            def body(c, _):
+                def loss_fn(v):
+                    fvc, fvi, fn = kal.render.mesh.prepare_vertices(
+                        v, faces, cam_proj, camera_rot=cam_rot,
+                        camera_trans=cam_trans)
+                    ff = jnp.ones(fvc.shape[:3] + (1,))
+                    feat, mask, _ = sharded_dibr_rasterization(
+                        mesh, H, W, fvc[..., 2], fvi, ff, fn[..., 2],
+                        rast_backend='xla', mask_backend='xla')
+                    return jnp.sum(feat ** 2) + jnp.sum(mask)
+                l, g = jax.value_and_grad(loss_fn)(c)
+                return c - 1e-9 * g, l
+            v, ls = jax.lax.scan(body, vertices, None, length=args.iters)
+            return ls[-1], jnp.sum(v)
+
+        out = step(verts)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        out = step(verts)
+        _ = float(out[0]) + float(out[1])
+        dt = (time.perf_counter() - t0) / args.iters
+        mpix = H * W / dt / 1e6
+        if base is None:
+            base = mpix
+        eff = mpix / (base * n)
+        results.append({'devices': n, 'mpixels_per_s': round(mpix, 3),
+                        'efficiency_vs_1': round(eff, 3)})
+        print(json.dumps(results[-1]))
+    return results
+
+
+if __name__ == '__main__':
+    main()

@@ -57,7 +57,7 @@ def sharded_dibr_rasterization(mesh, height, width, face_vertices_z,
                                face_vertices_image, face_features,
                                face_normals_z, sigmainv=7000, boxlen=0.02,
                                knum=30, multiplier=None, eps=None,
-                               rast_backend='auto'):
+                               rast_backend='auto', mask_backend='auto'):
     """:func:`kaolin_tpu.render.mesh.dibr_rasterization` over a
     ('data', 'pix') mesh; see :func:`sharded_rasterize`.
 
@@ -76,7 +76,7 @@ def sharded_dibr_rasterization(mesh, height, width, face_vertices_z,
         feat, mask, idx = dibr_rasterization(
             local_h, width, fvz, fvi, ff, fnz, sigmainv, boxlen, knum,
             multiplier, eps, rast_backend, row_start=row_start,
-            total_height=height)
+            total_height=height, mask_backend=mask_backend)
         return feat, mask, idx
 
     return inner(face_vertices_z, face_vertices_image, face_features,

@@ -66,3 +66,49 @@ def test_sharded_gradients_match_single(inputs):
     for a, b in zip(g_ref, g_sh):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-8)
+
+
+def test_sharded_raytrace_matches_single():
+    """Ray-sharded SPC trace over the CPU mesh == single-device trace."""
+    if jax.device_count() < 8:
+        pytest.skip('not enough devices')
+    from kaolin_tpu.ops.spc import (quantize_points,
+                                    unbatched_points_to_octree,
+                                    scan_octrees, generate_points)
+    from kaolin_tpu.render.spc import (unbatched_raytrace_fixed,
+                                       generate_primary_rays)
+    from kaolin_tpu.parallel import sharded_raytrace, make_mesh
+
+    level = 5
+    rng = np.random.default_rng(0)
+    dirs = rng.normal(size=(2000, 3))
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    octree = unbatched_points_to_octree(
+        quantize_points(jnp.asarray(dirs * 0.7, jnp.float32), level), level)
+    _, pyramids, exsum = scan_octrees(octree,
+                                      np.array([len(np.asarray(octree))]))
+    ph = generate_points(octree, pyramids, exsum)
+    H = W = 16
+    o, d = generate_primary_rays(H, W, jnp.asarray([0., 0., 2.5]),
+                                 jnp.zeros(3), jnp.asarray([0., 1., 0.]),
+                                 jnp.pi / 4)
+    mesh = make_mesh(data=1, pix=8)
+    CAP = 4096
+    ridx, pidx, depth, counts = sharded_raytrace(
+        mesh, octree, ph, exsum, o, d, level, CAP)
+    n_per = o.shape[0] // 8
+    ridx, pidx = np.asarray(ridx), np.asarray(pidx)
+    depth, counts = np.asarray(depth), np.asarray(counts)
+    for s in range(8):
+        ref = unbatched_raytrace_fixed(
+            octree, ph, exsum, o[s * n_per:(s + 1) * n_per],
+            d[s * n_per:(s + 1) * n_per], level, CAP)
+        c = int(counts[s])
+        assert c == int(ref[3])
+        lo = s * CAP
+        np.testing.assert_array_equal(ridx[lo:lo + c],
+                                      np.asarray(ref[0])[:c])
+        np.testing.assert_array_equal(pidx[lo:lo + c],
+                                      np.asarray(ref[1])[:c])
+        np.testing.assert_allclose(depth[lo:lo + c, 0],
+                                   np.asarray(ref[2])[:c, 0], rtol=1e-6)
