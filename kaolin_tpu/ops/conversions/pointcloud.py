@@ -69,8 +69,8 @@ def unbatched_pointcloud_to_spc(pointcloud, level, features=None):
     Reference: ``kaolin/ops/conversions/pointcloud.py:143``.
 
     Returns:
-        (kaolin_tpu.rep.Spc, features or None): features are morton-ordered
-        per occupied leaf cell (mean over points in the cell; integer
+        kaolin_tpu.rep.Spc with ``features`` set (morton-ordered per
+        occupied leaf cell, mean over points in the cell; integer
         features are rounded).
     """
     qpts = np.asarray(quantize_points(pointcloud, level))
@@ -91,5 +91,4 @@ def unbatched_pointcloud_to_spc(pointcloud, level, features=None):
         if not is_fp:
             feat = jnp.round(feat)
         feat = feat.astype(features.dtype)
-    spc = Spc(octrees=octree, lengths=lengths)
-    return spc, feat
+    return Spc(octrees=octree, lengths=lengths, features=feat)

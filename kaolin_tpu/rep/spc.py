@@ -28,11 +28,12 @@ class Spc:
             'point_hierarchies'}
 
     def __init__(self, octrees, lengths, max_level=None, pyramids=None,
-                 exsum=None, point_hierarchies=None):
+                 exsum=None, point_hierarchies=None, features=None):
         assert (max_level is None) == (pyramids is None) == (exsum is None), \
             "max_level, pyramids and exsum must be provided together"
         self.octrees = octrees
         self.lengths = np.asarray(lengths)
+        self.features = features
         self._max_level = max_level
         self._pyramids = pyramids
         self._exsum = exsum
@@ -83,11 +84,11 @@ class Spc:
 
     @classmethod
     def from_features(cls, feature_grids, masks=None):
-        """SPC + coalesced features from dense feature grids
+        """SPC with coalesced features from dense feature grids
         (reference ``rep/spc.py:160``)."""
         octrees, lengths, features = spc_ops.feature_grids_to_spc(
             feature_grids, masks)
-        return cls(octrees, lengths), features
+        return cls(octrees, lengths, features=features)
 
     @classmethod
     def from_list(cls, octrees_list):

@@ -26,10 +26,10 @@ def test_pointcloud_to_spc_roundtrip():
     rng = np.random.default_rng(0)
     pts = jnp.asarray(rng.uniform(-1, 1, (500, 3)))
     feats = jnp.asarray(rng.normal(size=(500, 4)))
-    spc, f = unbatched_pointcloud_to_spc(pts, 4, feats)
+    spc = unbatched_pointcloud_to_spc(pts, 4, feats)
     assert spc.max_level == 4
     n_leaves = int(spc.pyramids[0, 0, 4])
-    assert f.shape == (n_leaves, 4)
+    assert spc.features.shape == (n_leaves, 4)
 
 
 def test_sdf_to_voxelgrids_reference_example():

@@ -203,8 +203,8 @@ def test_to_dense_and_feature_grids_roundtrip():
         vals = rng.normal(size=(occ[b].sum(), 3)).astype(np.float32)
         grid[b].transpose(1, 2, 3, 0)[occ[b]] = vals
     octrees, lengths, feats = feature_grids_to_spc(jnp.asarray(grid))
-    spc = Spc(octrees, lengths)
-    dense = spc.to_dense(feats, level=3)
+    spc = Spc(octrees, lengths, features=feats)
+    dense = spc.to_dense(spc.features, level=3)
     np.testing.assert_allclose(np.asarray(dense), grid, atol=1e-6)
 
 
