@@ -208,3 +208,22 @@ def test_timelapse_roundtrip(tmp_path):
     tl.add_mesh_batch(iteration=20, category='fit',
                       vertices_list=[jnp.zeros((3, 3))], faces_list=[f])
     assert parser.check_for_updates()
+
+
+def test_texture_mapping_matches_torch_grid_sample():
+    torch = pytest.importorskip('torch')
+    import torch.nn.functional as F
+    from kaolin_tpu.render.mesh import texture_mapping
+    rng = np.random.default_rng(0)
+    tex = rng.random((2, 3, 17, 23)).astype(np.float32)
+    uv = rng.random((2, 9, 11, 2)).astype(np.float32)
+    for mode in ('nearest', 'bilinear'):
+        ours = np.asarray(texture_mapping(jnp.asarray(uv),
+                                          jnp.asarray(tex), mode=mode))
+        t_uv = torch.from_numpy(uv).reshape(2, -1, 1, 2).clamp(0, 1) * 2 - 1
+        t_uv[..., 1] *= -1
+        ref = F.grid_sample(torch.from_numpy(tex), t_uv, mode=mode,
+                            align_corners=False, padding_mode='border')
+        ref = ref.permute(0, 2, 3, 1).reshape(2, 9, 11, 3).numpy()
+        np.testing.assert_allclose(ours, ref, atol=1e-5,
+                                   err_msg=f'mode={mode}')
