@@ -197,7 +197,8 @@ def _rasterize_fwd(height, width, multiplier, eps, backend, total_height,
         height, width, multiplier, eps, backend, total_height,
         face_vertices_z, face_vertices_image, face_features, valid_mask,
         row_start)
-    residuals = (face_idx, weights, face_vertices_image, face_features)
+    residuals = (face_idx, weights, face_vertices_image, face_features,
+                 row_start)
     return (interpolated, face_idx), residuals
 
 
@@ -212,10 +213,22 @@ def _rasterize_bwd(height, width, multiplier, eps, backend, total_height,
     the unscaled tensor for backward).
     """
     grad_interpolated, _ = grads
-    face_idx, weights, face_vertices_image, face_features = residuals
+    face_idx, weights, face_vertices_image, face_features, row_start = \
+        residuals
     B, F, _, _ = face_vertices_image.shape
     _, H, W, D = grad_interpolated.shape
     dtype = face_vertices_image.dtype
+
+    if backend in ('pallas', 'pallas_interpret') and H % 8 == 0 \
+            and W % 128 == 0:
+        from ...kernels.rasterize_bwd import rasterize_backward_pallas
+        grad_img, grad_feat = rasterize_backward_pallas(
+            grad_interpolated, face_idx, weights, face_vertices_image,
+            face_features, row_start, height=H, width=W,
+            total_height=total_height, multiplier=multiplier, eps=eps,
+            interpret=(backend == 'pallas_interpret'))
+        return (jnp.zeros((B, F, 3), dtype), grad_img, grad_feat,
+                jnp.zeros((B, F), dtype), jnp.zeros((), jnp.float32))
 
     covered = face_idx >= 0
     safe_idx = jnp.maximum(face_idx, 0)

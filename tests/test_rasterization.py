@@ -194,3 +194,24 @@ def test_pallas_interpret_matches_xla(simple_inputs):
     np.testing.assert_array_equal(np.asarray(idx_x), np.asarray(idx_p))
     np.testing.assert_allclose(np.asarray(feat_x), np.asarray(feat_p),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_pallas_backward_matches_xla(simple_inputs):
+    """Pallas band-accumulation backward (interpret) vs XLA segment_sum."""
+    fvz, fvi, ff = simple_inputs
+    rng = np.random.default_rng(5)
+    H, W = 16, 128
+    cot = jnp.asarray(rng.normal(size=(2, H, W, 4)))
+
+    def mkloss(backend):
+        def loss(fvi_, ff_):
+            feat, _ = rasterize(H, W, fvz, fvi_, ff_, backend=backend)
+            return jnp.sum(feat * cot)
+        return loss
+
+    gx = jax.grad(mkloss('xla'), argnums=(0, 1))(fvi, ff)
+    gp = jax.grad(mkloss('pallas_interpret'), argnums=(0, 1))(fvi, ff)
+    np.testing.assert_allclose(np.asarray(gx[0]), np.asarray(gp[0]),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(gx[1]), np.asarray(gp[1]),
+                               rtol=1e-6, atol=1e-9)
