@@ -11,25 +11,33 @@ __all__ = ['spherical2cartesian', 'cartesian2spherical']
 def spherical2cartesian(azimuth, elevation, distance=None):
     """Converts spherical coordinates to cartesian.
 
-    Follows the reference convention (``kaolin/ops/coords.py:20``):
-    ``z = cos(elevation) * cos(azimuth)``, ``x = cos(elevation) * sin(azimuth)``,
-    ``y = sin(elevation)``, all scaled by ``distance``.
+    Reference convention (``kaolin/ops/coords.py:20``): X toward the
+    camera, Z up, Y right — ``x = cos(elevation) * cos(azimuth)``,
+    ``y = cos(elevation) * sin(azimuth)``, ``z = sin(elevation)``,
+    all scaled by ``distance``.
+
+    Returns:
+        (x, y, z) arrays of the input shape.
     """
     if distance is None:
-        distance = jnp.ones_like(azimuth)
-    proj = jnp.cos(elevation) * distance
-    x = proj * jnp.sin(azimuth)
-    y = jnp.sin(elevation) * distance
-    z = proj * jnp.cos(azimuth)
+        z = jnp.sin(elevation)
+        proj = jnp.cos(elevation)
+    else:
+        z = jnp.sin(elevation) * distance
+        proj = jnp.cos(elevation) * distance
+    x = proj * jnp.cos(azimuth)
+    y = proj * jnp.sin(azimuth)
     return x, y, z
 
 
 def cartesian2spherical(x, y, z):
-    """Converts cartesian coordinates to spherical (azimuth, elevation, distance).
+    """Converts cartesian coordinates to spherical
+    (azimuth, elevation, distance).
 
-    Reference: ``kaolin/ops/coords.py:44``.
+    Reference: ``kaolin/ops/coords.py:44`` (same X-toward-camera /
+    Z-up / Y-right convention as :func:`spherical2cartesian`).
     """
     distance = jnp.sqrt(x * x + y * y + z * z)
-    elevation = jnp.arcsin(y / distance)
-    azimuth = jnp.arctan2(x, z)
+    elevation = jnp.arcsin(z / distance)
+    azimuth = jnp.arctan2(y, x)
     return azimuth, elevation, distance

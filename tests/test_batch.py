@@ -61,3 +61,24 @@ def test_fill_max_shape():
     np.testing.assert_array_equal(kb.fill_max_shape(spt, [-1, 7]), [4, 7])
     with pytest.raises(ValueError):
         kb.fill_max_shape(spt, [3, 3])
+
+
+def test_spherical_cartesian_convention_and_roundtrip():
+    """X-toward-camera / Z-up / Y-right (``kaolin/ops/coords.py:20``):
+    azimuth 0, elevation 0 -> +x; elevation pi/2 -> +z."""
+    from kaolin_tpu.ops.coords import spherical2cartesian, cartesian2spherical
+    az = jnp.asarray([0., np.pi / 2, 0., 0.7])
+    el = jnp.asarray([0., 0., np.pi / 2, -0.3])
+    d = jnp.asarray([1., 2., 3., 1.5])
+    x, y, z = spherical2cartesian(az, el, d)
+    np.testing.assert_allclose(
+        np.stack([x, y, z], -1)[:3],
+        [[1., 0., 0.], [0., 2., 0.], [0., 0., 3.]], atol=1e-6)
+    az2, el2, d2 = cartesian2spherical(x, y, z)
+    np.testing.assert_allclose(np.asarray(az2), np.asarray(az), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(el2), np.asarray(el), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d), atol=1e-6)
+    # distance=None defaults to the unit sphere
+    x1, y1, z1 = spherical2cartesian(az, el)
+    np.testing.assert_allclose(np.asarray(x1 * x1 + y1 * y1 + z1 * z1),
+                               1., atol=1e-6)
