@@ -12,7 +12,8 @@ import subprocess
 import numpy as np
 
 __all__ = ['get_lib', 'obj_parse_fast', 'points_to_octree_fast',
-           'points_to_morton_fast', 'morton_to_points_fast']
+           'points_to_morton_fast', 'morton_to_points_fast',
+           'voxelize_triangles_fast']
 
 _LIB = None
 _TRIED = False
@@ -55,6 +56,11 @@ def get_lib():
                                          ctypes.c_int, ctypes.c_void_p,
                                          ctypes.c_int64]
         lib.points_to_octree.restype = ctypes.c_int64
+        lib.voxelize_triangles.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                           ctypes.c_void_p, ctypes.c_int64,
+                                           ctypes.c_int, ctypes.c_void_p,
+                                           ctypes.c_int64]
+        lib.voxelize_triangles.restype = ctypes.c_int64
         _LIB = lib
     except Exception:
         _LIB = None
@@ -102,6 +108,33 @@ def morton_to_points_fast(morton):
     out = np.empty((m.shape[0], 3), np.int16)
     lib.morton_to_points(m.ctypes.data, m.shape[0], out.ctypes.data)
     return out
+
+
+def voxelize_triangles_fast(vertices, faces, level):
+    """Conservative triangle voxelization (native); None if unavailable.
+
+    Args:
+        vertices: (V, 3) float grid-space coords (in [0, 2^level]).
+        faces: (T, 3) int.
+        level: octree depth (grid res = 2^level).
+
+    Returns:
+        (N, 3) int16 sorted unique voxel coords, or None.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    v = np.ascontiguousarray(vertices, np.float32)
+    f = np.ascontiguousarray(faces, np.int64)
+    cap = max(1024, 64 * f.shape[0])
+    while True:
+        out = np.empty((cap, 3), np.int16)
+        n = lib.voxelize_triangles(v.ctypes.data, v.shape[0],
+                                   f.ctypes.data, f.shape[0], level,
+                                   out.ctypes.data, cap)
+        if n >= 0:
+            return out[:n].copy()
+        cap *= 4
 
 
 def points_to_octree_fast(points, level):

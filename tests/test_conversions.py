@@ -130,3 +130,97 @@ def test_odms_roundtrip():
     c = np.asarray(carved)[0]
     inner = np.asarray(vg)[0] > 0
     assert (c[inner]).all()
+
+
+# --------------------------------------------------------------------------
+# Conservative triangle voxelization / mesh -> SPC
+# (reference: mesh_to_spc_cuda.cu d_ProcessTriangles/d_ProcessVoxels)
+# --------------------------------------------------------------------------
+
+def _random_voxelizer_inputs(seed=0, level=6, nv=60, nt=40):
+    rng = np.random.default_rng(seed)
+    res = 1 << level
+    V = rng.uniform(0, res, (nv, 3)).astype(np.float32)
+    F = rng.integers(0, nv, (nt, 3))
+    # degenerate cases: repeated-vertex segment, point, collinear triple
+    F = np.concatenate([F, [[0, 0, 1], [2, 2, 2]]])
+    V = np.concatenate([V, [V[3] * 0.5 + V[4] * 0.5]])
+    F = np.concatenate([F, [[3, 4, nv]]])
+    return V, F, level
+
+
+def test_voxelize_triangles_native_matches_numpy():
+    from kaolin_tpu.ops.conversions.mesh import _voxelize_triangles_np
+    from kaolin_tpu.native import voxelize_triangles_fast
+    for seed in (0, 1):
+        V, F, level = _random_voxelizer_inputs(seed)
+        a = voxelize_triangles_fast(V, F, level)
+        if a is None:
+            pytest.skip('native library unavailable')
+        b = _voxelize_triangles_np(V, F, level)
+        assert set(map(tuple, a.tolist())) == set(map(tuple, b.tolist()))
+
+
+def test_voxelize_triangles_covers_surface():
+    # every densely-sampled point of each snapped *proper* triangle must
+    # fall within one voxel of the emitted 26-connected band (degenerate
+    # triangles follow the reference's bbox-diagonal quirk and are
+    # excluded; see ops/conversions/mesh.py docstring)
+    from kaolin_tpu.ops.conversions.mesh import voxelize_triangles
+    V, F, level = _random_voxelizer_inputs(0)
+    res = 1 << level
+    vox = voxelize_triangles(V, F, level)
+    have = set(map(tuple, vox.tolist()))
+    p = np.floor(V[F].astype(np.float64) + 0.5)
+    proper = np.linalg.norm(
+        np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0]), axis=-1) > 0
+    p = p[proper]
+    s = np.linspace(0, 1, 25)
+    u, w = np.meshgrid(s, s)
+    keep = u + w <= 1
+    u, w = u[keep], w[keep]
+    pts = (p[:, 0, None] * (1 - u - w)[None, :, None]
+           + p[:, 1, None] * u[None, :, None]
+           + p[:, 2, None] * w[None, :, None]).reshape(-1, 3)
+    inb = ((pts >= 0) & (pts <= res - 1)).all(-1)
+    cells = np.unique(np.floor(pts[inb]).astype(np.int64), axis=0)
+    for q in cells:
+        assert any(
+            (q[0] + dx, q[1] + dy, q[2] + dz) in have
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)
+        ), q
+
+
+def test_voxelize_triangles_axis_aligned_exact():
+    # a lattice-aligned square-half triangle in the z=4 plane: the covered
+    # columns are exactly the dilated 2D footprint of the triangle
+    from kaolin_tpu.ops.conversions.mesh import voxelize_triangles
+    V = np.array([[1., 1., 4.], [6., 1., 4.], [1., 6., 4.]], np.float32)
+    F = np.array([[0, 1, 2]])
+    vox = voxelize_triangles(V, F, 3)
+    have = set(map(tuple, vox.tolist()))
+    assert all(z == 4 for _, _, z in have)
+    got2d = {(x, y) for x, y, _ in have}
+    # expectation from the reference's edge math: edges x=1, y=1, x+y=7,
+    # each dilated outward by the half-pixel L1 radius, strict < 0 tests
+    dilated = {(x, y) for x in range(8) for y in range(8)
+               if x + 0.5 > 1 and y + 0.5 > 1 and (x - 0.5) + (y - 0.5) < 7}
+    assert got2d == dilated
+
+
+def test_unbatched_mesh_to_spc_octree_matches_voxels():
+    from kaolin_tpu.ops.conversions.mesh import (voxelize_triangles,
+                                                 unbatched_mesh_to_spc)
+    from kaolin_tpu.ops.spc import (scan_octrees, generate_points,
+                                    unbatched_get_level_points)
+    level = 5
+    res = 1 << level
+    V, F, _ = _random_voxelizer_inputs(2, level=level)
+    octree = unbatched_mesh_to_spc((V / res) * 2. - 1., F, level)
+    lengths = np.array([len(np.asarray(octree))])
+    _, pyramids, exsum = scan_octrees(octree, lengths)
+    ph = generate_points(octree, pyramids, exsum)
+    leaf = np.asarray(unbatched_get_level_points(ph, pyramids[0], level))
+    grid = (np.asarray(V, np.float64) / res) * res  # already grid coords
+    vox = voxelize_triangles(V, F, level)
+    assert set(map(tuple, leaf.tolist())) == set(map(tuple, vox.tolist()))
