@@ -15,11 +15,17 @@ Pack ops (segmented scans/reductions over per-ray intersection runs) map
 to ``jax.ops.segment_sum`` and ``jax.lax.associative_scan`` with a
 segment-reset combine — no custom kernels needed on TPU.
 
-Known performance limitation (round 1): the BFS is gather-bound and the
-current XLA TPU backend executes large gathers at ~25-50 ns/element, so a
-256x256-ray level-8 trace costs ~1-2 s. The planned fix is a Pallas
-traversal kernel with explicit VMEM staging (bypassing XLA gather
-lowering); correctness and the public API are final.
+Performance design (the TPU-shaped part): children are AABB-tested *at
+emission time* — the (nuggets, 8) candidate tests are pure vector math on
+data already gathered for the parents, so the per-level buffers only ever
+hold actual intersections (~5x narrower than proposal buffers), and
+compaction writes every output slot exactly once via 1D scatters
+(`.at[pos].set(..., mode='drop')`), needing no scan and — crucially — no
+gathers from buffer-sized (512k+ row) tables, which are the slow path of
+this backend's gather lowering. All remaining gathers read small packed
+int32 tables (octree nodes, point hierarchy, rays) that sit in the fast
+gather window; rays beyond ~262k rows should be sharded across devices
+(see ``kaolin_tpu.parallel``), which also restores the fast window.
 """
 
 import functools
@@ -45,7 +51,7 @@ __all__ = [
 # Near-to-far octant traversal: VOXEL_ORDER[c][i] == c ^ _GRAY_RANK[i]
 # (octants sorted by (popcount(o ^ c), o ^ c); the xor identity makes the
 # (8, 8) CUDA constant table (raytrace_cuda.cu:48-57) a broadcastable op).
-_GRAY_RANK = jnp.asarray([0, 1, 2, 4, 3, 5, 6, 7], dtype=jnp.int32)
+_GRAY_RANK = (0, 1, 2, 4, 3, 5, 6, 7)
 
 
 def _ray_aabb(o, d, inv, sgn, vc, r):
@@ -88,10 +94,14 @@ def unbatched_raytrace_fixed(octree, point_hierarchy, exsum, origin,
                              return_level_counts=False):
     """Statically-shaped SPC ray trace.
 
-    Per-level buffer capacities grow as ``min(cap, num_rays * 3 * 2^l)``
-    (a ray crosses at most ``3 * 2^l - 2`` cells of a ``2^l`` grid), so
-    early BFS levels stay tiny. Compaction is gather-based (searchsorted
-    into the child-count prefix sum) — no TPU scatters anywhere.
+    Children are culled at emission: each level gathers its (already hit)
+    nuggets' data once, AABB-tests all 8 child octants as (nuggets, 8)
+    vector math, and scatters the survivors — each output slot written
+    exactly once — so buffers hold intersections, never proposals.
+    Per-level capacities default to ``min(cap, num_rays * 3 * 2^(l+1))``
+    (a ray crosses at most ``3 * 2^k - 2`` cells of a ``2^k`` grid); a
+    ``cap_schedule`` from :func:`plan_raytrace` tightens them to observed
+    occupancy.
 
     Args:
         octree: (num_bytes,) uint8.
@@ -115,7 +125,7 @@ def unbatched_raytrace_fixed(octree, point_hierarchy, exsum, origin,
     dtype = origin.dtype
 
     # packed per-node table: octree byte (8 bits) | exsum << 8 — one gather
-    # yields both; point coords packed 3x16 bits into one int64
+    # yields both; point coords packed 2x16 + 16 bits into two int32 cols
     node_tbl = octree.astype(jnp.int32) \
         | (exsum[:octree.shape[0]].astype(jnp.int32) << 8)
     ph = point_hierarchy.astype(jnp.int32)
@@ -140,76 +150,82 @@ def unbatched_raytrace_fixed(octree, point_hierarchy, exsum, origin,
     pidx = jnp.zeros((num_rays,), jnp.int32)
     count = jnp.asarray(num_rays, jnp.int32)
     level_counts = []
+    overflow = jnp.asarray(0, jnp.int32)
 
     for l in range(level):
         c_in = ridx.shape[0]
-        # proposals at level l+1: up to 8 children per level-l cell the ray
-        # crosses (<= 3*2^l - 2 cells, and <= 8^l cells total); an explicit
-        # cap_schedule (e.g. from plan_raytrace) tightens the buffers
-        c_out = min(cap, num_rays * 8 * min(8 ** l, 3 * 2 ** l))
+        # true intersections at level l+1: <= cells crossed per ray. A
+        # generic ray crosses <= 3*2^k - 2 cells of a 2^k grid, but the
+        # boundary-inclusive slab test (reference spc_render_utils.cuh:
+        # |lt| <= r) makes a ray lying exactly in a lattice plane touch
+        # cells on both sides — 6*2^k covers the worst case (edge rays)
+        c_out = min(cap, num_rays * min(8 ** (l + 1), 6 * 2 ** (l + 1)))
         if cap_schedule is not None:
             c_out = min(c_out, int(cap_schedule[l]))
+        last = l == level - 1
         valid = (jnp.arange(c_in) < count) & (pidx >= 0)
         safe_p = jnp.maximum(pidx, 0)
         safe_r = jnp.maximum(ridx, 0)
         p = take_p(safe_p)
         r = 1.0 / (1 << l)
+        rc = r * 0.5
         vc = r * (2. * p + 1.) - 1.
         o, d = gather_rays(safe_r)
         inv = 1.0 / d
         sgn = _sgn(d)
-        depth = _ray_aabb(o, d, inv, sgn, vc, r)
-        hit = (depth != 0.) & valid                # raytrace_cuda.cu:117
+        if with_exit and last:
+            sgn_exit = _sgn(-d)
 
         node = jnp.take(node_tbl, safe_p)
         bits = node & 0xFF
-        n_children = jnp.where(hit, jnp.bitwise_count(
-            bits.astype(jnp.uint8)).astype(jnp.int32), 0)
-        incl = jnp.cumsum(n_children)
-        total = incl[-1]
-        base = incl - n_children
-
-        # compaction: output k -> source nugget i. Sources are emitted at
-        # monotonically increasing bases, so a scatter of i to base[i]
-        # followed by a forward cumulative max reconstructs the mapping
-        # (cheaper than a searchsorted binary search on this backend).
-        mark = jnp.full((c_out,), -1, jnp.int32)
-        scatter_pos = jnp.where(n_children > 0, base, c_out)
-        mark = mark.at[scatter_pos].max(
-            jnp.arange(c_in, dtype=jnp.int32), mode='drop')
-        i = jax.lax.associative_scan(jnp.maximum, mark)
-        i = jnp.maximum(i, 0)
-        k = jnp.arange(c_out, dtype=jnp.int32)
-        j = k - jnp.take(base, i)
-
-        src_p = jnp.take(safe_p, i)
-        src_r = jnp.take(ridx, i)
-        node_k = jnp.take(node_tbl, src_p)
-        bits_k = node_k & 0xFF
-        p_k = take_p(src_p)
-        o_k, _ = gather_rays(jnp.maximum(src_r, 0))
-        # ray-origin octant code (subdivide_cuda_kernel:252-259)
-        frac = (0.5 * o_k + 0.5) - r * (p_k + 0.5)
+        # ray-origin octant code (reference subdivide kernel,
+        # raytrace_cuda.cu:252-259) -> near-to-far child emission order
+        frac = (0.5 * o + 0.5) - r * (p + 0.5)
         code = ((frac[:, 0] > 0) * 4 + (frac[:, 1] > 0) * 2
                 + (frac[:, 2] > 0) * 1).astype(jnp.int32)
-        order = code[:, None] ^ _GRAY_RANK[None, :]        # (c_out, 8)
-        child_bit = ((bits_k[:, None] >> order) & 1) > 0
-        within = jnp.cumsum(child_bit.astype(jnp.int32), axis=1)
-        # j-th existing child in VOXEL_ORDER order
-        m = jnp.argmax(within == (j[:, None] + 1), axis=1)
-        octant = jnp.take_along_axis(order, m[:, None], axis=1)[:, 0]
-        cnt = jnp.bitwise_count(
-            (bits_k & ((2 << octant) - 1)).astype(jnp.uint32)
-        ).astype(jnp.int32)
-        child_pidx = (node_k >> 8) + cnt
 
-        in_range = k < total
-        ridx = jnp.where(in_range, src_r, -1)
-        pidx = jnp.where(in_range, child_pidx, -1)
+        # per-octant-rank candidate children, tested as (c_in,) columns
+        keep_cols, pidx_cols, depth_cols_entry, depth_cols_exit = \
+            [], [], [], []
+        for rank in range(8):
+            octant = code ^ _GRAY_RANK[rank]
+            exists = ((bits >> octant) & 1) > 0
+            off = jnp.stack([(octant >> 2) & 1, (octant >> 1) & 1,
+                             octant & 1], axis=-1).astype(dtype)
+            vc_child = vc - rc + r * off
+            entry = _ray_aabb(o, d, inv, sgn, vc_child, rc)
+            if last:
+                hit = entry > 0.
+                if with_exit:
+                    hit &= _ray_aabb(o, d, inv, sgn_exit, vc_child, rc) > 0.
+            else:
+                hit = entry != 0.          # origin-inside (< 0) counts
+            keep_cols.append(exists & hit & valid)
+            cnt = jnp.bitwise_count(
+                (bits & ((2 << octant) - 1)).astype(jnp.uint32)
+            ).astype(jnp.int32)
+            pidx_cols.append((node >> 8) + cnt)
+
+        keep = jnp.stack(keep_cols, axis=1)            # (c_in, 8)
+        child_pidx = jnp.stack(pidx_cols, axis=1)
+        keep_flat = keep.reshape(-1)                   # parent-major order
+        keep_i = keep_flat.astype(jnp.int32)
+        incl = jnp.cumsum(keep_i)
+        total = incl[-1]
+        pos = jnp.where(keep_flat, incl - keep_i, c_out)
+        # every slot < total receives exactly one write: plain set-scatter,
+        # no scan, no gathers from c_out-sized tables (the slow path)
+        ridx_src = jnp.broadcast_to(ridx[:, None], (c_in, 8)).reshape(-1)
+        ridx = jnp.full((c_out,), -1, jnp.int32).at[pos].set(
+            ridx_src, mode='drop')
+        pidx = jnp.full((c_out,), -1, jnp.int32).at[pos].set(
+            child_pidx.reshape(-1), mode='drop')
         count = jnp.minimum(total, c_out).astype(jnp.int32)
+        overflow = jnp.maximum(overflow, total - c_out)
         level_counts.append(total)
 
-    # final level: keep entry depth > 0 (and exit > 0 if with_exit)
+    # depths for the final nuggets (already culled at emission; level == 0
+    # degenerates to testing the root cell itself)
     c_in = ridx.shape[0]
     valid = (jnp.arange(c_in) < count) & (pidx >= 0)
     safe_p = jnp.maximum(pidx, 0)
@@ -220,34 +236,49 @@ def unbatched_raytrace_fixed(octree, point_hierarchy, exsum, origin,
     o, d = gather_rays(safe_r)
     inv = 1.0 / d
     entry = _ray_aabb(o, d, inv, _sgn(d), vc, r)
+    depth_cols = [entry]
     if with_exit:
-        exit_ = _ray_aabb(o, d, inv, _sgn(-d), vc, r)
-        keep = (entry > 0.) & (exit_ > 0.) & valid
-        depth_cols = [entry, exit_]
-    else:
+        depth_cols.append(_ray_aabb(o, d, inv, _sgn(-d), vc, r))
+    if level == 0:
         keep = (entry > 0.) & valid
-        depth_cols = [entry]
+        if with_exit:
+            keep &= depth_cols[1] > 0.
+        valid = keep
+        count = jnp.sum(keep.astype(jnp.int32))
+        total = count
+        # compact the root-level survivors
+        ki = keep.astype(jnp.int32)
+        pos = jnp.where(keep, jnp.cumsum(ki) - ki, cap)
+        ridx = jnp.full((cap,), -1, jnp.int32).at[pos].set(ridx,
+                                                           mode='drop')
+        pidx = jnp.full((cap,), -1, jnp.int32).at[pos].set(safe_p * 0,
+                                                           mode='drop')
+        depth_cols = [jnp.zeros((cap,), dtype).at[pos].set(c, mode='drop')
+                      for c in depth_cols]
+        out_depth = jnp.stack(depth_cols, axis=-1)
+        out = (ridx, pidx, out_depth, total)
+        if return_level_counts:
+            return out + (jnp.zeros((0,), jnp.int32),)
+        return out
 
-    keep_i = keep.astype(jnp.int32)
-    incl = jnp.cumsum(keep_i)
-    total = incl[-1]
-    base = incl - keep_i
-    mark = jnp.full((cap,), -1, jnp.int32)
-    scatter_pos = jnp.where(keep, base, cap)
-    mark = mark.at[scatter_pos].max(
-        jnp.arange(c_in, dtype=jnp.int32), mode='drop')
-    i = jnp.maximum(jax.lax.associative_scan(jnp.maximum, mark), 0)
-    k = jnp.arange(cap, dtype=jnp.int32)
-    in_range = k < total
-    out_ridx = jnp.where(in_range, jnp.take(ridx, i), -1)
-    out_pidx = jnp.where(in_range, jnp.take(pidx, i), -1)
+    pad = cap - c_in
+    assert pad >= 0, (c_in, cap)
+    out_ridx = jnp.where(valid, ridx, -1)
+    out_pidx = jnp.where(valid, pidx, -1)
     out_depth = jnp.stack(
-        [jnp.where(in_range, jnp.take(c, i), 0.) for c in depth_cols],
-        axis=-1)
+        [jnp.where(valid, c, 0.) for c in depth_cols], axis=-1)
+    if pad:
+        out_ridx = jnp.concatenate(
+            [out_ridx, jnp.full((pad,), -1, jnp.int32)])
+        out_pidx = jnp.concatenate(
+            [out_pidx, jnp.full((pad,), -1, jnp.int32)])
+        out_depth = jnp.concatenate(
+            [out_depth, jnp.zeros((pad, out_depth.shape[1]), dtype)])
+    # signal truncation at ANY level by reporting a count beyond cap so
+    # callers (unbatched_raytrace) regrow their buffers
+    total = jnp.where(overflow > 0, jnp.int32(cap) + overflow, count)
     if return_level_counts:
-        lc = jnp.stack(level_counts) if level_counts else \
-            jnp.zeros((0,), jnp.int32)
-        return out_ridx, out_pidx, out_depth, total, lc
+        return out_ridx, out_pidx, out_depth, total, jnp.stack(level_counts)
     return out_ridx, out_pidx, out_depth, total
 
 
