@@ -1,0 +1,88 @@
+"""SPC raytrace benchmark (BASELINE.json config 5, single chip).
+
+Traces camera rays against a sphere-surface SPC and reports ms per
+trace. Timing follows the repo convention (CLAUDE.md): iterations are
+chained inside one jit via ``lax.scan`` (the ray origin is nudged by a
+result-dependent epsilon so XLA cannot collapse the chain) and the best
+of several repeats is taken, because per-call host timing through the
+shared axon TPU tunnel is meaningless.
+
+Usage: python bench_raytrace.py [--res 256] [--level 8] [--iters 8]
+Prints one JSON line: {"metric": "spc_raytrace_<res>_L<level>", ...}.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--res', type=int, default=256)
+    p.add_argument('--level', type=int, default=8)
+    p.add_argument('--iters', type=int, default=8)
+    p.add_argument('--reps', type=int, default=4)
+    p.add_argument('--points', type=int, default=200000)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from kaolin_tpu.ops.spc import (quantize_points,
+                                    unbatched_points_to_octree,
+                                    scan_octrees, generate_points)
+    from kaolin_tpu.render.spc import (unbatched_raytrace_fixed,
+                                       generate_primary_rays)
+    from kaolin_tpu.render.spc.raytrace import plan_raytrace
+
+    rng = np.random.default_rng(0)
+    dirs = rng.normal(size=(args.points, 3))
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    surf = dirs * 0.7
+    qpts = quantize_points(jnp.asarray(surf, jnp.float32), args.level)
+    octree = unbatched_points_to_octree(qpts, args.level)
+    lengths = np.array([len(np.asarray(octree))])
+    max_level, pyramids, exsum = scan_octrees(octree, lengths)
+    ph = generate_points(octree, pyramids, exsum)
+
+    o, d = generate_primary_rays(
+        args.res, args.res, jnp.asarray([0., 0., 2.5]), jnp.zeros(3),
+        jnp.asarray([0., 1., 0.]), jnp.pi / 3)
+    num_rays = args.res * args.res
+
+    sched = plan_raytrace(octree, ph, exsum, o, d, args.level,
+                          cap=64 * num_rays)
+    cap = max(max(int(c) for c in sched), num_rays)
+    print(f'# octree nodes={int(lengths[0])} schedule={sched}', flush=True)
+
+    @jax.jit
+    def run(o, d):
+        def step(c, _):
+            ridx, pidx, depth, count = unbatched_raytrace_fixed(
+                octree, ph, exsum, o + c * 1e-12, d, args.level, cap,
+                cap_schedule=sched)
+            return c + (count & 1).astype(jnp.float32) * 1e-6, None
+        c, _ = jax.lax.scan(step, jnp.float32(0), None, length=args.iters)
+        return c
+
+    np.asarray(run(o, d))  # compile + warm
+    best = 1e9
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        np.asarray(run(o, d))
+        best = min(best, (time.perf_counter() - t0) / args.iters)
+
+    nuggets = int(np.asarray(unbatched_raytrace_fixed(
+        octree, ph, exsum, o, d, args.level, cap, cap_schedule=sched)[3]))
+    ms = best * 1e3
+    print(json.dumps({
+        'metric': f'spc_raytrace_{args.res}x{args.res}_L{args.level}',
+        'value': round(ms, 3), 'unit': 'ms/trace',
+        'nuggets': nuggets,
+        'mrays_per_s': round(num_rays / best / 1e6, 2),
+    }))
+
+
+if __name__ == '__main__':
+    main()

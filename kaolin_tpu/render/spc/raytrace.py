@@ -17,15 +17,19 @@ segment-reset combine — no custom kernels needed on TPU.
 
 Performance design (the TPU-shaped part): children are AABB-tested *at
 emission time* — the (nuggets, 8) candidate tests are pure vector math on
-data already gathered for the parents, so the per-level buffers only ever
-hold actual intersections (~5x narrower than proposal buffers), and
-compaction writes every output slot exactly once via 1D scatters
-(`.at[pos].set(..., mode='drop')`), needing no scan and — crucially — no
-gathers from buffer-sized (512k+ row) tables, which are the slow path of
-this backend's gather lowering. All remaining gathers read small packed
-int32 tables (octree nodes, point hierarchy, rays) that sit in the fast
-gather window; rays beyond ~262k rows should be sharded across devices
-(see ``kaolin_tpu.parallel``), which also restores the fast window.
+the parents' data — and the surviving candidates are compacted by a
+single **multi-operand sort** that carries the entire per-nugget state
+(ray origin/direction, packed voxel coords, point index, ray index)
+through to the next level. Rationale, measured on this backend: XLA 1D
+gathers cost ~8 ns/element and scatters ~5.4 ns/element, while
+``lax.sort`` costs ~1.8 ns/row *regardless of operand count* (~0.7 ns for
+the nearly-sorted keys compaction produces). Sorting a candidate-index
+key (parent-major order, misses keyed to INT32_MAX) therefore compacts
+and reorders a dozen state columns for the price of one, leaving exactly
+one gather per level — the octree-node lookup that *is* the tree walk.
+Buffers only ever hold actual intersections (children are culled at
+emission), so per-level capacities track true occupancy
+(:func:`plan_raytrace`).
 """
 
 import functools
@@ -123,34 +127,52 @@ def unbatched_raytrace_fixed(octree, point_hierarchy, exsum, origin,
     num_rays = origin.shape[0]
     assert num_rays <= cap, (num_rays, cap)
     dtype = origin.dtype
+    INF = jnp.int32(0x7FFFFFFF)
 
     # packed per-node table: octree byte (8 bits) | exsum << 8 — one gather
-    # yields both; point coords packed 2x16 + 16 bits into two int32 cols
+    # yields both
     node_tbl = octree.astype(jnp.int32) \
         | (exsum[:octree.shape[0]].astype(jnp.int32) << 8)
-    ph = point_hierarchy.astype(jnp.int32)
-    ph_xy = (ph[:, 0] & 0xFFFF) | ((ph[:, 1] & 0xFFFF) << 16)
-    ph_z = ph[:, 2]
 
-    ocols = [origin[:, a] for a in range(3)]
-    dcols = [direction[:, a] for a in range(3)]
+    if level == 0:
+        # degenerate: test the root cell itself
+        o, d = origin, direction
+        inv = 1.0 / d
+        entry = _ray_aabb(o, d, inv, _sgn(d), jnp.zeros((1, 3), dtype), 1.0)
+        depth_cols = [entry]
+        keep = entry > 0.
+        if with_exit:
+            exit_ = _ray_aabb(o, d, inv, _sgn(-d), jnp.zeros((1, 3), dtype),
+                              1.0)
+            depth_cols.append(exit_)
+            keep &= exit_ > 0.
+        total = jnp.sum(keep.astype(jnp.int32))
+        ki = keep.astype(jnp.int32)
+        pos = jnp.where(keep, jnp.cumsum(ki) - ki, cap)
+        ridx = jnp.full((cap,), -1, jnp.int32).at[pos].set(
+            jnp.arange(num_rays, dtype=jnp.int32), mode='drop')
+        pidx = jnp.full((cap,), -1, jnp.int32).at[pos].set(
+            jnp.zeros((num_rays,), jnp.int32), mode='drop')
+        depth_cols = [jnp.zeros((cap,), dtype).at[pos].set(c, mode='drop')
+                      for c in depth_cols]
+        out = (ridx, pidx, jnp.stack(depth_cols, axis=-1), total)
+        if return_level_counts:
+            return out + (jnp.zeros((0,), jnp.int32),)
+        return out
 
-    def take_p(idx):
-        xy = jnp.take(ph_xy, idx)
-        z = jnp.take(ph_z, idx)
-        return jnp.stack([xy & 0xFFFF, (xy >> 16) & 0xFFFF, z],
-                         axis=-1).astype(dtype)
-
-    def gather_rays(safe_r):
-        o = jnp.stack([jnp.take(c, safe_r) for c in ocols], axis=-1)
-        d = jnp.stack([jnp.take(c, safe_r) for c in dcols], axis=-1)
-        return o, d
-
+    # level-0 state, one nugget per ray at the root: the full per-nugget
+    # state (packed x<<16|y, z, point index, ray index, o, d) is CARRIED
+    # through each level's sort-compaction rather than re-gathered
     ridx = jnp.arange(num_rays, dtype=jnp.int32)
     pidx = jnp.zeros((num_rays,), jnp.int32)
-    count = jnp.asarray(num_rays, jnp.int32)
-    level_counts = []
+    xy = jnp.zeros((num_rays,), jnp.int32)
+    zz = jnp.zeros((num_rays,), jnp.int32)
+    ocols = [origin[:, a] for a in range(3)]
+    dcols = [direction[:, a] for a in range(3)]
+    valid = jnp.ones((num_rays,), bool)
     overflow = jnp.asarray(0, jnp.int32)
+    level_counts = []
+    out_depth_cols = None
 
     for l in range(level):
         c_in = ridx.shape[0]
@@ -159,25 +181,26 @@ def unbatched_raytrace_fixed(octree, point_hierarchy, exsum, origin,
         # boundary-inclusive slab test (reference spc_render_utils.cuh:
         # |lt| <= r) makes a ray lying exactly in a lattice plane touch
         # cells on both sides — 6*2^k covers the worst case (edge rays)
-        c_out = min(cap, num_rays * min(8 ** (l + 1), 6 * 2 ** (l + 1)))
+        c_out = min(cap, num_rays * min(8 ** (l + 1), 6 * 2 ** (l + 1)),
+                    8 * c_in)
         if cap_schedule is not None:
             c_out = min(c_out, int(cap_schedule[l]))
         last = l == level - 1
-        valid = (jnp.arange(c_in) < count) & (pidx >= 0)
-        safe_p = jnp.maximum(pidx, 0)
-        safe_r = jnp.maximum(ridx, 0)
-        p = take_p(safe_p)
+
+        # the one structural gather per level: the tree walk itself
+        node = jnp.take(node_tbl, jnp.maximum(pidx, 0))
+        bits = node & 0xFF
         r = 1.0 / (1 << l)
         rc = r * 0.5
+        p = jnp.stack([(xy >> 16).astype(dtype), (xy & 0xFFFF).astype(dtype),
+                       zz.astype(dtype)], axis=-1)
         vc = r * (2. * p + 1.) - 1.
-        o, d = gather_rays(safe_r)
+        o = jnp.stack(ocols, axis=-1)
+        d = jnp.stack(dcols, axis=-1)
         inv = 1.0 / d
         sgn = _sgn(d)
         if with_exit and last:
             sgn_exit = _sgn(-d)
-
-        node = jnp.take(node_tbl, safe_p)
-        bits = node & 0xFF
         # ray-origin octant code (reference subdivide kernel,
         # raytrace_cuda.cu:252-259) -> near-to-far child emission order
         frac = (0.5 * o + 0.5) - r * (p + 0.5)
@@ -185,19 +208,22 @@ def unbatched_raytrace_fixed(octree, point_hierarchy, exsum, origin,
                 + (frac[:, 2] > 0) * 1).astype(jnp.int32)
 
         # per-octant-rank candidate children, tested as (c_in,) columns
-        keep_cols, pidx_cols, depth_cols_entry, depth_cols_exit = \
-            [], [], [], []
+        keep_cols, pidx_cols, xy_cols, z_cols = [], [], [], []
+        entry_cols, exit_cols = [], []
         for rank in range(8):
             octant = code ^ _GRAY_RANK[rank]
             exists = ((bits >> octant) & 1) > 0
-            off = jnp.stack([(octant >> 2) & 1, (octant >> 1) & 1,
-                             octant & 1], axis=-1).astype(dtype)
+            ox, oy, oz = (octant >> 2) & 1, (octant >> 1) & 1, octant & 1
+            off = jnp.stack([ox, oy, oz], axis=-1).astype(dtype)
             vc_child = vc - rc + r * off
             entry = _ray_aabb(o, d, inv, sgn, vc_child, rc)
             if last:
                 hit = entry > 0.
+                entry_cols.append(entry)
                 if with_exit:
-                    hit &= _ray_aabb(o, d, inv, sgn_exit, vc_child, rc) > 0.
+                    exit_ = _ray_aabb(o, d, inv, sgn_exit, vc_child, rc)
+                    hit &= exit_ > 0.
+                    exit_cols.append(exit_)
             else:
                 hit = entry != 0.          # origin-inside (< 0) counts
             keep_cols.append(exists & hit & valid)
@@ -205,68 +231,54 @@ def unbatched_raytrace_fixed(octree, point_hierarchy, exsum, origin,
                 (bits & ((2 << octant) - 1)).astype(jnp.uint32)
             ).astype(jnp.int32)
             pidx_cols.append((node >> 8) + cnt)
+            if not last:
+                xy_cols.append((xy << 1) | (ox << 16) | oy)
+                z_cols.append((zz << 1) | oz)
 
-        keep = jnp.stack(keep_cols, axis=1)            # (c_in, 8)
-        child_pidx = jnp.stack(pidx_cols, axis=1)
-        keep_flat = keep.reshape(-1)                   # parent-major order
-        keep_i = keep_flat.astype(jnp.int32)
-        incl = jnp.cumsum(keep_i)
-        total = incl[-1]
-        pos = jnp.where(keep_flat, incl - keep_i, c_out)
-        # every slot < total receives exactly one write: plain set-scatter,
-        # no scan, no gathers from c_out-sized tables (the slow path)
-        ridx_src = jnp.broadcast_to(ridx[:, None], (c_in, 8)).reshape(-1)
-        ridx = jnp.full((c_out,), -1, jnp.int32).at[pos].set(
-            ridx_src, mode='drop')
-        pidx = jnp.full((c_out,), -1, jnp.int32).at[pos].set(
-            child_pidx.reshape(-1), mode='drop')
-        count = jnp.minimum(total, c_out).astype(jnp.int32)
+        def flat(cols):
+            return jnp.stack(cols, axis=1).reshape(-1)   # parent-major
+
+        keep = flat(keep_cols)
+        total = jnp.sum(keep.astype(jnp.int32))
+        # sort-compaction: candidate row index (already in output order —
+        # parent-major, near-to-far rank within parent) keyed to INF for
+        # misses; every carried state column rides the same sort
+        key = jnp.where(keep, jnp.arange(8 * c_in, dtype=jnp.int32), INF)
+
+        def bc(col):
+            return jnp.broadcast_to(col[:, None], (c_in, 8)).reshape(-1)
+
+        ops = [key, bc(ridx), flat(pidx_cols)]
+        if last:
+            ops.append(flat(entry_cols))
+            if with_exit:
+                ops.append(flat(exit_cols))
+        else:
+            ops += [flat(xy_cols), flat(z_cols)]
+            ops += [bc(c) for c in ocols] + [bc(c) for c in dcols]
+        sorted_ops = jax.lax.sort(tuple(ops), num_keys=1,
+                                  is_stable=False)
+        sorted_ops = [op[:c_out] for op in sorted_ops]
+        key = sorted_ops[0]
+        valid = key != INF
+        ridx, pidx = sorted_ops[1], sorted_ops[2]
+        if last:
+            out_depth_cols = sorted_ops[3:]
+        else:
+            xy, zz = sorted_ops[3], sorted_ops[4]
+            ocols = sorted_ops[5:8]
+            dcols = sorted_ops[8:11]
         overflow = jnp.maximum(overflow, total - c_out)
         level_counts.append(total)
 
-    # depths for the final nuggets (already culled at emission; level == 0
-    # degenerates to testing the root cell itself)
-    c_in = ridx.shape[0]
-    valid = (jnp.arange(c_in) < count) & (pidx >= 0)
-    safe_p = jnp.maximum(pidx, 0)
-    safe_r = jnp.maximum(ridx, 0)
-    p = take_p(safe_p)
-    r = 1.0 / (1 << level)
-    vc = r * (2. * p + 1.) - 1.
-    o, d = gather_rays(safe_r)
-    inv = 1.0 / d
-    entry = _ray_aabb(o, d, inv, _sgn(d), vc, r)
-    depth_cols = [entry]
-    if with_exit:
-        depth_cols.append(_ray_aabb(o, d, inv, _sgn(-d), vc, r))
-    if level == 0:
-        keep = (entry > 0.) & valid
-        if with_exit:
-            keep &= depth_cols[1] > 0.
-        valid = keep
-        count = jnp.sum(keep.astype(jnp.int32))
-        total = count
-        # compact the root-level survivors
-        ki = keep.astype(jnp.int32)
-        pos = jnp.where(keep, jnp.cumsum(ki) - ki, cap)
-        ridx = jnp.full((cap,), -1, jnp.int32).at[pos].set(ridx,
-                                                           mode='drop')
-        pidx = jnp.full((cap,), -1, jnp.int32).at[pos].set(safe_p * 0,
-                                                           mode='drop')
-        depth_cols = [jnp.zeros((cap,), dtype).at[pos].set(c, mode='drop')
-                      for c in depth_cols]
-        out_depth = jnp.stack(depth_cols, axis=-1)
-        out = (ridx, pidx, out_depth, total)
-        if return_level_counts:
-            return out + (jnp.zeros((0,), jnp.int32),)
-        return out
-
-    pad = cap - c_in
-    assert pad >= 0, (c_in, cap)
+    count = jnp.sum(valid.astype(jnp.int32))
+    c_fin = ridx.shape[0]
+    pad = cap - c_fin
+    assert pad >= 0, (c_fin, cap)
     out_ridx = jnp.where(valid, ridx, -1)
     out_pidx = jnp.where(valid, pidx, -1)
     out_depth = jnp.stack(
-        [jnp.where(valid, c, 0.) for c in depth_cols], axis=-1)
+        [jnp.where(valid, c, 0.) for c in out_depth_cols], axis=-1)
     if pad:
         out_ridx = jnp.concatenate(
             [out_ridx, jnp.full((pad,), -1, jnp.int32)])
