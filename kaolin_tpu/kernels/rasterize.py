@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ['rasterize_select_pallas']
+__all__ = ['rasterize_select_pallas', 'rasterize_interp_pallas']
 
 FACE_CHUNK = 8
 TILE_H = 8
@@ -150,6 +150,207 @@ def _rasterize_kernel(start_ref, end_ref, roff_ref, z_ref, img_ref,
     # uncovered sentinel 0x7fffffff -> -1
     final = idx_ref[0, :, :]
     idx_ref[0, :, :] = jnp.where(final == 0x7fffffff, -1, final)
+
+
+def _rasterize_interp_kernel(start_ref, end_ref, roff_ref, z_ref, img_ref,
+                             bbox_ref, ids_ref, feat_ref, idx_ref, *out_refs,
+                             height, width, total_height, num_faces,
+                             multiplier, eps, feat_dim):
+    """Fused select + barycentric weights + feature interpolation.
+
+    Same z-buffer loop as :func:`_rasterize_kernel`, but the winning
+    face's barycentric weights and interpolated features are selected
+    in-register at chunk time, so no per-pixel face gathers are needed
+    outside the kernel (the XLA epilogue's two row-gathers were ~80% of
+    the forward cost at 512^2).
+    """
+    b = pl.program_id(0)
+    r = pl.program_id(1)
+    w_refs = out_refs[:3]
+    f_refs = out_refs[3:3 + feat_dim]
+    zbuf_ref = out_refs[3 + feat_dim]
+
+    row = (roff_ref[0] + r * TILE_H
+           + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, width), 0))
+    col = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, width), 1)
+    dtype = z_ref.dtype
+    H = total_height
+    x0 = (multiplier / width) * (2 * col + 1 - width).astype(dtype)
+    y0 = (multiplier / H) * (H - 2 * row - 1).astype(dtype)
+
+    zbuf_ref[...] = jnp.full((1, TILE_H, width), -jnp.inf, dtype=dtype)
+    idx_ref[...] = jnp.full((1, TILE_H, width), 0x7fffffff, dtype=jnp.int32)
+    for ref in w_refs:
+        ref[...] = jnp.zeros((1, TILE_H, width), dtype=dtype)
+    for ref in f_refs:
+        ref[...] = jnp.zeros((1, TILE_H, width), dtype=dtype)
+
+    def chunk_body(c, _):
+        f0 = c * FACE_CHUNK
+        bbox = bbox_ref[0, pl.ds(f0, FACE_CHUNK), :]          # (8, 4)
+        img = img_ref[0, pl.ds(f0, FACE_CHUNK), :]            # (8, 6)
+        fz = z_ref[0, pl.ds(f0, FACE_CHUNK), :]               # (8, 3)
+        feat = feat_ref[0, pl.ds(f0, FACE_CHUNK), :]          # (8, 3*D)
+        orig_ids = ids_ref[0, pl.ds(f0, FACE_CHUNK), 0]       # (8,)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (FACE_CHUNK, 1, 1), 0)
+        lane_valid = (f0 + lane) < num_faces
+        face_ids = orig_ids[:, None, None]
+
+        px = x0[None, :, :]
+        py = y0[None, :, :]
+        hit = ((px >= bbox[:, 0][:, None, None])
+               & (px < bbox[:, 2][:, None, None])
+               & (py >= bbox[:, 1][:, None, None])
+               & (py < bbox[:, 3][:, None, None]))
+
+        ax = img[:, 0][:, None, None] - px
+        ay = img[:, 1][:, None, None] - py
+        bx = img[:, 2][:, None, None] - px
+        by = img[:, 3][:, None, None] - py
+        cx = img[:, 4][:, None, None] - px
+        cy = img[:, 5][:, None, None] - py
+        w0 = bx * cy - by * cx
+        w1 = cx * ay - cy * ax
+        w2 = ax * by - ay * bx
+        norm = w0 + w1 + w2
+        norm = norm + jnp.copysign(eps, norm)
+        w0 = w0 / norm
+        w1 = w1 / norm
+        w2 = w2 / norm
+        inside = (w0 >= 0.) & (w1 >= 0.) & (w2 >= 0.)
+
+        z0 = (w0 * fz[:, 0][:, None, None]
+              + w1 * fz[:, 1][:, None, None]
+              + w2 * fz[:, 2][:, None, None])
+        z0 = jnp.where(hit & inside & lane_valid, z0, -jnp.inf)
+
+        zmax = jnp.max(z0, axis=0)                            # (th, w)
+        is_max = (z0 == zmax[None, :, :]) & (zmax[None, :, :] > -jnp.inf)
+        big = jnp.int32(0x7fffffff)
+        cand = jnp.where(is_max, jnp.broadcast_to(face_ids, z0.shape), big)
+        widx = jnp.min(cand, axis=0)
+
+        # exactly one sublane holds the chunk winner (ids are unique)
+        sel = is_max & (cand == widx[None, :, :])
+
+        def pick(v):
+            return jnp.sum(jnp.where(sel, v, 0.), axis=0)
+
+        cur_z = zbuf_ref[0, :, :]
+        cur_i = idx_ref[0, :, :]
+        take = (zmax > cur_z) | ((zmax == cur_z) & (widx < cur_i)
+                                 & (zmax > -jnp.inf))
+        zbuf_ref[0, :, :] = jnp.where(take, zmax, cur_z)
+        idx_ref[0, :, :] = jnp.where(take, widx, cur_i)
+        for k, (ref, w) in enumerate(zip(w_refs, (w0, w1, w2))):
+            ref[0, :, :] = jnp.where(take, pick(w), ref[0, :, :])
+        for d in range(feat_dim):
+            interp = (w0 * feat[:, d][:, None, None]
+                      + w1 * feat[:, feat_dim + d][:, None, None]
+                      + w2 * feat[:, 2 * feat_dim + d][:, None, None])
+            f_refs[d][0, :, :] = jnp.where(take, pick(interp),
+                                           f_refs[d][0, :, :])
+        return 0
+
+    jax.lax.fori_loop(start_ref[b, r], end_ref[b, r], chunk_body, 0)
+
+    final = idx_ref[0, :, :]
+    idx_ref[0, :, :] = jnp.where(final == 0x7fffffff, -1, final)
+
+
+@functools.partial(jax.jit, static_argnames=('height', 'width',
+                                             'total_height', 'multiplier',
+                                             'eps', 'interpret'))
+def rasterize_interp_pallas(face_vertices_z, face_vertices_image_flat,
+                            face_bboxes, face_features_flat, row_start=0, *,
+                            height, width, total_height=None, multiplier,
+                            eps, interpret=False):
+    """Fused rasterization: per-pixel winner face, barycentric weights and
+    interpolated features in one kernel pass.
+
+    Args are as :func:`rasterize_select_pallas` plus
+    ``face_features_flat``: (B, F, 3*feat_dim), layout
+    (f0_0..f0_{D-1}, f1_0.., f2_0..) i.e. vertex-major.
+
+    Returns:
+        (features (B, H, W, feat_dim), face_idx (B, H, W) int32,
+        weights (B, H, W, 3)).
+    """
+    B, F, _ = face_vertices_z.shape
+    D3 = face_features_flat.shape[-1]
+    D = D3 // 3
+    assert height % TILE_H == 0 and width % 128 == 0, (height, width)
+    if total_height is None:
+        total_height = height
+    row_start = jnp.asarray(row_start, jnp.int32)
+
+    pad = (-F) % FACE_CHUNK
+    if pad:
+        dtype = face_bboxes.dtype
+        empty = jnp.tile(
+            jnp.asarray([jnp.inf, jnp.inf, -jnp.inf, -jnp.inf], dtype),
+            (B, pad, 1))
+        face_bboxes = jnp.concatenate([face_bboxes, empty], axis=1)
+        face_vertices_z = jnp.pad(face_vertices_z,
+                                  ((0, 0), (0, pad), (0, 0)))
+        face_vertices_image_flat = jnp.pad(face_vertices_image_flat,
+                                           ((0, 0), (0, pad), (0, 0)))
+        face_features_flat = jnp.pad(face_features_flat,
+                                     ((0, 0), (0, pad), (0, 0)))
+        F = F + pad
+
+    order = jnp.argsort(-face_bboxes[..., 3], axis=1).astype(jnp.int32)
+    fz = jnp.take_along_axis(face_vertices_z, order[..., None], axis=1)
+    img = jnp.take_along_axis(face_vertices_image_flat, order[..., None],
+                              axis=1)
+    bb = jnp.take_along_axis(face_bboxes, order[..., None], axis=1)
+    ff = jnp.take_along_axis(face_features_flat, order[..., None], axis=1)
+
+    start_c, end_c = _band_face_ranges(bb, height, float(multiplier),
+                                       row_start, total_height)
+
+    grid = (B, height // TILE_H)
+    kernel = functools.partial(
+        _rasterize_interp_kernel, height=height, width=width,
+        total_height=total_height, num_faces=F,
+        multiplier=float(multiplier), eps=float(eps), feat_dim=D)
+    img_block = pl.BlockSpec((1, TILE_H, width), lambda b, r, *_: (b, r, 0),
+                             memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, F, 3), lambda b, r, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F, 6), lambda b, r, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F, 4), lambda b, r, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F, 1), lambda b, r, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F, D3), lambda b, r, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[img_block] * (1 + 3 + D + 1),
+    )
+    dtype = face_vertices_z.dtype
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, height, width), jnp.int32)]
+        + [jax.ShapeDtypeStruct((B, height, width), dtype)] * (3 + D + 1),
+        cost_estimate=pl.CostEstimate(
+            flops=B * height * width * (64 + 8 * D) * 2,
+            bytes_accessed=B * (F * (15 + D3) * 4
+                                + height * width * (5 + D) * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(start_c, end_c, row_start[None], fz, img, bb, order[..., None], ff)
+    face_idx = outs[0]
+    weights = jnp.stack(outs[1:4], axis=-1)
+    features = jnp.stack(outs[4:4 + D], axis=-1)
+    return features, face_idx, weights
 
 
 @functools.partial(jax.jit, static_argnames=('height', 'width',

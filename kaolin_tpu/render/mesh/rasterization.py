@@ -142,6 +142,20 @@ def _rasterize_fwd_impl(height, width, multiplier, eps, backend,
         bboxes = jnp.where(valid_mask[..., None] > 0, bboxes,
                            jnp.stack([inf, inf, -inf, -inf])[None, None, :])
 
+    feat_dim = face_features.shape[-1]
+    # the fused kernel keeps (F, 3*feat_dim) features resident in VMEM;
+    # fall back to select + gather epilogue when they would not fit
+    fused_ok = (F * (15 + 3 * feat_dim) * 4 <= 8 * 2 ** 20
+                and 3 * feat_dim <= 256)
+    if backend in ('pallas', 'pallas_interpret') and fused_ok:
+        from ...kernels.rasterize import rasterize_interp_pallas
+        interpolated, face_idx, weights = rasterize_interp_pallas(
+            face_vertices_z, img_flat, bboxes,
+            face_features.reshape(B, F, 3 * feat_dim), row_start,
+            height=height, width=width, total_height=total_height,
+            multiplier=float(multiplier), eps=float(eps),
+            interpret=(backend == 'pallas_interpret'))
+        return interpolated, face_idx, weights
     if backend in ('pallas', 'pallas_interpret'):
         from ...kernels.rasterize import rasterize_select_pallas
         _, face_idx = rasterize_select_pallas(
