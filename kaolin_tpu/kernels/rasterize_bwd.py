@@ -27,8 +27,29 @@ __all__ = ['rasterize_backward_pallas']
 
 def _bwd_kernel(start_ref, end_ref, img_ref, ids_ref, feat_ref, fidx_ref,
                 w_ref, grad_ref, gimg_ref, gfeat_ref, *, num_feats, eps):
+    """Band-accumulation backward, collapsed to 3*D basis reductions.
+
+    The reference's per-pixel gradient table
+    (``rasterization_cuda.cu:288-398``) looks irreducibly per-pixel, but
+    two identities collapse it:
+
+    - the reconstructed-pixel terms satisfy ``s = bw*m + cw*n``,
+      ``t = bw*p + cw*q``, hence ``k1 = bw*k3`` and ``k2 = cw*k3`` with
+      ``k3 = m*q - n*p`` *per-face* (barycentric identity; exact up to
+      the forward's eps-normalization, ~1e-8 relative — below f32
+      resolution);
+    - ``g1 = sum_d grad_d*(c1-c0)_d`` is a per-face linear combination
+      of the per-pixel grads.
+
+    So every pixel-band reduction the backward needs is a per-face
+    linear combination of just ``{sum won*g_d, sum won*bw*g_d,
+    sum won*cw*g_d}`` — the same 3*D sums that already produce the
+    feature gradients. The vertex-position gradients then cost only
+    (8, k) per-face scalar math on top.
+    """
     b = pl.program_id(0)
     r = pl.program_id(1)
+    D = num_feats
 
     @pl.when(r == 0)
     def _():
@@ -36,9 +57,11 @@ def _bwd_kernel(start_ref, end_ref, img_ref, ids_ref, feat_ref, fidx_ref,
         gfeat_ref[...] = jnp.zeros_like(gfeat_ref)
 
     fidx = fidx_ref[0, :, :]                       # (th, w) int32
-    aw = w_ref[0, 0, :, :]
     bw = w_ref[0, 1, :, :]
     cw = w_ref[0, 2, :, :]
+
+    def red(x):
+        return jnp.sum(jnp.sum(x, axis=2), axis=1, keepdims=True)  # (8, 1)
 
     def chunk_body(c, _):
         f0 = c * FACE_CHUNK
@@ -47,100 +70,71 @@ def _bwd_kernel(start_ref, end_ref, img_ref, ids_ref, feat_ref, fidx_ref,
         feats = feat_ref[0, pl.ds(f0, FACE_CHUNK), :]      # (8, 3*D)
 
         won = fidx[None, :, :] == ids[:, None, None]       # (8, th, w)
+        mb = jnp.where(won, bw[None], 0.)
+        mc = jnp.where(won, cw[None], 0.)
 
-        ax = img[:, 0][:, None, None]
-        ay = img[:, 1][:, None, None]
-        bx = img[:, 2][:, None, None]
-        by = img[:, 3][:, None, None]
-        cx = img[:, 4][:, None, None]
-        cy = img[:, 5][:, None, None]
-        # reconstruct the pixel from the weights
-        # (rasterization_cuda.cu:298-303)
-        x0 = aw[None] * ax + bw[None] * bx + cw[None] * cx
-        y0 = aw[None] * ay + bw[None] * by + cw[None] * cy
+        # the 3*D basis sums (F0, Fb, Fc per feature channel)
+        f0s, fbs, fcs = [], [], []
+        for d in range(D):
+            gd = grad_ref[0, d, :, :][None]                # (1, th, w)
+            md = jnp.where(won, jnp.broadcast_to(gd, won.shape), 0.)
+            f0s.append(red(md))
+            fbs.append(red(mb * gd))
+            fcs.append(red(mc * gd))
+
+        # feature grads: w0 = 1 - bw - cw (rasterization_cuda.cu:272-285)
+        fdelta = jnp.concatenate(
+            [f0s[d] - fbs[d] - fcs[d] for d in range(D)]
+            + fbs + fcs, axis=1)                           # (8, 3*D)
+        gfeat_ref[0, pl.ds(f0, FACE_CHUNK), :] = (
+            gfeat_ref[0, pl.ds(f0, FACE_CHUNK), :] + fdelta)
+
+        # per-face geometry (all (8, 1))
+        ax, ay = img[:, 0][:, None], img[:, 1][:, None]
+        bx, by = img[:, 2][:, None], img[:, 3][:, None]
+        cx, cy = img[:, 4][:, None], img[:, 5][:, None]
         m = bx - ax
         p = by - ay
         n = cx - ax
         q = cy - ay
-        s = x0 - ax
-        t = y0 - ay
-        k1 = s * q - n * t
-        k2 = m * t - s * p
-        k3 = m * q - n * p
-        k3 = k3 + jnp.copysign(eps, k3)
+        k3r = m * q - n * p
+        k3 = k3r + jnp.copysign(eps, k3r)
 
-        # derivative table (rasterization_cuda.cu:324-374)
-        dk1dn = -t
-        dk1dq = s
-        dk1ds = q
-        dk1dt = -n
-        dk2dm = t
-        dk2dp = -s
-        dk2ds = -p
-        dk2dt = m
-        dk3dm = q
-        dk3dn = -p
-        dk3dp = -n
-        dk3dq = m
+        # g-basis sums: R1* from delta1 = c1 - c0, R2* from c2 - c0
+        dt = img.dtype
+        R1 = R1b = R1c = R2 = R2b = R2c = jnp.zeros((FACE_CHUNK, 1), dt)
+        for d in range(D):
+            d1 = feats[:, D + d][:, None] - feats[:, d][:, None]
+            d2 = feats[:, 2 * D + d][:, None] - feats[:, d][:, None]
+            R1 = R1 + d1 * f0s[d]
+            R1b = R1b + d1 * fbs[d]
+            R1c = R1c + d1 * fcs[d]
+            R2 = R2 + d2 * f0s[d]
+            R2b = R2b + d2 * fbs[d]
+            R2c = R2c + d2 * fcs[d]
 
-        dw1dm = -dk3dm * k1
-        dw1dn = dk1dn * k3 - dk3dn * k1
-        dw1dp = -dk3dp * k1
-        dw1dq = dk1dq * k3 - dk3dq * k1
-        dw1ds = dk1ds * k3
-        dw1dt = dk1dt * k3
-        dw2dm = dk2dm * k3 - dk3dm * k2
-        dw2dn = -dk3dn * k2
-        dw2dp = dk2dp * k3 - dk3dp * k2
-        dw2dq = -dk3dq * k2
-        dw2ds = dk2ds * k3
-        dw2dt = dk2dt * k3
-
-        dw1dax = -(dw1dm + dw1dn + dw1ds)
-        dw1day = -(dw1dp + dw1dq + dw1dt)
-        dw2dax = -(dw2dm + dw2dn + dw2ds)
-        dw2day = -(dw2dp + dw2dq + dw2dt)
-
+        # reduced derivative table (rasterization_cuda.cu:324-374) via
+        # k1 = bw*k3r, k2 = cw*k3r, s = bw*m + cw*n, t = bw*p + cw*q:
+        r1k = k3r * R1b                                    # sum g1*k1
+        r2k = k3r * R2c                                    # sum g2*k2
+        r1s = m * R1b + n * R1c                            # sum g1*s
+        r1t = p * R1b + q * R1c                            # sum g1*t
+        r2s = m * R2b + n * R2c
+        r2t = p * R2b + q * R2c
+        comp_m = -q * r1k + k3 * r2t - q * r2k
+        comp_p = n * r1k - k3 * r2s + n * r2k
+        comp_n = -k3 * r1t + p * (r1k + r2k)
+        comp_q = k3 * r1s - m * (r1k + r2k)
+        comp_s = k3 * (q * R1 - p * R2)
+        comp_t = k3 * (m * R2 - n * R1)
+        comp_ax = -(comp_m + comp_n + comp_s)
+        comp_ay = -(comp_p + comp_q + comp_t)
         inv_k3sq = 1. / (k3 * k3)
-        # g1 = sum_d grad_d * (c1 - c0)_d, g2 with (c2 - c0)
-        g1 = jnp.zeros_like(k3)
-        g2 = jnp.zeros_like(k3)
-        for d in range(num_feats):
-            gd = grad_ref[0, d, :, :][None]               # (1, th, w)
-            c0 = feats[:, d][:, None, None]
-            c1 = feats[:, num_feats + d][:, None, None]
-            c2 = feats[:, 2 * num_feats + d][:, None, None]
-            g1 = g1 + gd * (c1 - c0)
-            g2 = g2 + gd * (c2 - c0)
-        g1 = jnp.where(won, g1 * inv_k3sq, 0.)
-        g2 = jnp.where(won, g2 * inv_k3sq, 0.)
-
-        def red(x):
-            return jnp.sum(jnp.sum(x, axis=2), axis=1, keepdims=True)
-
-        comps = [
-            red(g1 * dw1dax + g2 * dw2dax),
-            red(g1 * dw1day + g2 * dw2day),
-            red(g1 * dw1dm + g2 * dw2dm),
-            red(g1 * dw1dp + g2 * dw2dp),
-            red(g1 * dw1dn + g2 * dw2dn),
-            red(g1 * dw1dq + g2 * dw2dq),
-        ]
-        delta = jnp.concatenate(comps, axis=1)             # (8, 6)
+        delta = jnp.concatenate(
+            [comp_ax, comp_ay, comp_m, comp_p, comp_n, comp_q],
+            axis=1) * inv_k3sq                             # (8, 6)
         gimg_ref[0, pl.ds(f0, FACE_CHUNK), :] = \
             gimg_ref[0, pl.ds(f0, FACE_CHUNK), :] + delta
-
-        # feature grads: w_i * grad_d reduced over won pixels
-        fcomps = []
-        ws = (aw, bw, cw)
-        for i in range(3):
-            wi = jnp.where(won, ws[i][None], 0.)
-            for d in range(num_feats):
-                gd = grad_ref[0, d, :, :][None]
-                fcomps.append(red(wi * gd))
-        fdelta = jnp.concatenate(fcomps, axis=1)           # (8, 3*D)
-        gfeat_ref[0, pl.ds(f0, FACE_CHUNK), :] = \
-            gfeat_ref[0, pl.ds(f0, FACE_CHUNK), :] + fdelta
         return 0
 
     jax.lax.fori_loop(start_ref[b, r], end_ref[b, r], chunk_body, 0)
