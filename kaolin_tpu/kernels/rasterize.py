@@ -39,6 +39,7 @@ __all__ = ['rasterize_select_pallas', 'rasterize_interp_pallas']
 
 FACE_CHUNK = 8
 TILE_H = 8
+CT_W = 128      # column-tile width (one vreg of lanes)
 
 
 def _band_face_ranges(bboxes_sorted, height, multiplier, row_start,
@@ -71,6 +72,110 @@ def _band_face_ranges(bboxes_sorted, height, multiplier, row_start,
     start_c = start // FACE_CHUNK
     end_c = (end + FACE_CHUNK - 1) // FACE_CHUNK
     return start_c, jnp.maximum(end_c, start_c)
+
+
+def _tile_face_ranges(bboxes, height, width, multiplier, row_start,
+                      total_height):
+    """Column-tiled face ranges: sort + per-(band, ctile) chunk ranges.
+
+    A face's bbox spans ~a few pixels while a row band spans the full
+    image width, so a band-only loop wastes >90% of its work in x. This
+    prepass assigns every face a *segment*: its leftmost column tile
+    ``tmin`` when it spans at most 2 tiles, the wide segment ``n_ct``
+    when it spans more, or the culled segment ``n_ct + 1``. Faces are
+    sorted by (segment, ymax desc); column tile ``t`` then only
+    processes three contiguous segment ranges — own (``t``), left
+    neighbor (``t - 1``, faces reaching across the tile edge) and wide —
+    each restricted per 8-row band by the same searchsorted/running-min
+    bounds as before (expressed as masked counts so each segment's
+    bounds stay independent).
+
+    Chunk (8-face) ranges are rounded outward, so a boundary chunk can
+    be visited from two segment loops; the kernels mask per-face on the
+    carried segment id to keep every (face, pixel) pair processed
+    exactly once.
+
+    Args:
+        bboxes: (B, F, 4) scaled (xmin, ymin, xmax, ymax); culled faces
+            carry the empty bbox (+inf, +inf, -inf, -inf). F % 8 == 0.
+
+    Returns:
+        (order (B, F) int32 sorted face order,
+        meta_s (B, F, 3) int32 [orig_id, segment, tmax] in sorted order,
+        start_c, end_c (B, n_bands, n_ct, 3) int32 chunk ranges with the
+        last axis = [own, left, wide]).
+    """
+    B, F, _ = bboxes.shape
+    n_ct = width // CT_W
+    n_bands = height // TILE_H
+    m = float(multiplier)
+    xmin, ymin = bboxes[..., 0], bboxes[..., 1]
+    xmax, ymax = bboxes[..., 2], bboxes[..., 3]
+
+    # first / last pixel-center column hit by [xmin, xmax):
+    # px(c) = m/W * (2c + 1 - W)  =>  c in [cmin, cmax]
+    cmin = jnp.ceil((xmin * (width / m) - 1. + width) * 0.5)
+    cmax = jnp.ceil((xmax * (width / m) - 1. + width) * 0.5) - 1.
+    tmin = jnp.clip(jnp.floor(cmin / CT_W), 0, n_ct - 1).astype(jnp.int32)
+    tmax = jnp.clip(jnp.floor(cmax / CT_W), 0, n_ct - 1).astype(jnp.int32)
+    valid = (ymax > -jnp.inf) & (cmax >= cmin)
+    seg = jnp.where(tmax - tmin <= 1, tmin, n_ct)
+    seg = jnp.where(valid, seg, n_ct + 1).astype(jnp.int32)
+
+    # stable two-level sort: primary segment, secondary ymax descending
+    ord1 = jnp.argsort(-ymax, axis=1, stable=True).astype(jnp.int32)
+    s1 = jnp.take_along_axis(seg, ord1, axis=1)
+    ord2 = jnp.argsort(s1, axis=1, stable=True).astype(jnp.int32)
+    order = jnp.take_along_axis(ord1, ord2, axis=1)
+    seg_s = jnp.take_along_axis(seg, order, axis=1)
+    ymax_s = jnp.take_along_axis(ymax, order, axis=1)
+    ymin_s = jnp.take_along_axis(ymin, order, axis=1)
+    tmax_s = jnp.take_along_axis(tmax, order, axis=1)
+
+    # per-segment running min of ymin (segments are contiguous)
+    def comb(a, b):
+        sa, ma = a
+        sb, mb = b
+        return sb, jnp.where(sa == sb, jnp.minimum(ma, mb), mb)
+
+    _, runmin = jax.lax.associative_scan(comb, (seg_s, ymin_s), axis=1)
+
+    rows_top = row_start + jnp.arange(n_bands) * TILE_H
+    rows_bot = rows_top + TILE_H - 1
+    H = total_height
+    band_ymax = (m / H) * (H - 2. * rows_top - 1.)
+    band_ymin = (m / H) * (H - 2. * rows_bot - 1.)
+
+    # per-(segment, band) [start, end) via masked counts
+    n_seg = n_ct + 1                                   # own tiles + wide
+    ks = jnp.arange(n_seg, dtype=jnp.int32)
+    in_seg = seg_s[:, None, :] == ks[None, :, None]            # (B,S,F)
+    seg_off = jnp.sum(seg_s[:, None, :] < ks[None, :, None],
+                      axis=2).astype(jnp.int32)                # (B,S)
+    hit_end = in_seg[:, :, None, :] & (
+        ymax_s[:, None, None, :] >= band_ymin[None, None, :, None])
+    hit_start = in_seg[:, :, None, :] & (
+        runmin[:, None, None, :] > band_ymax[None, None, :, None])
+    end = seg_off[:, :, None] + jnp.sum(hit_end, axis=3)       # (B,S,bands)
+    start = seg_off[:, :, None] + jnp.sum(hit_start, axis=3)
+    start_c = (start // FACE_CHUNK).astype(jnp.int32)
+    end_c = ((end + FACE_CHUNK - 1) // FACE_CHUNK).astype(jnp.int32)
+    end_c = jnp.maximum(end_c, start_c)
+
+    # assemble per (band, tile): [own = t, left = t-1, wide = n_ct]
+    sc = jnp.transpose(start_c, (0, 2, 1))                     # (B,bands,S)
+    ec = jnp.transpose(end_c, (0, 2, 1))
+    zero = jnp.zeros((B, n_bands, 1), jnp.int32)
+    own_s, own_e = sc[..., :n_ct], ec[..., :n_ct]
+    left_s = jnp.concatenate([zero, sc[..., :n_ct - 1]], axis=-1)
+    left_e = jnp.concatenate([zero, ec[..., :n_ct - 1]], axis=-1)
+    wide_s = jnp.broadcast_to(sc[..., n_ct:], own_s.shape)
+    wide_e = jnp.broadcast_to(ec[..., n_ct:], own_e.shape)
+    start_all = jnp.stack([own_s, left_s, wide_s], axis=-1)
+    end_all = jnp.stack([own_e, left_e, wide_e], axis=-1)
+
+    meta_s = jnp.stack([order, seg_s, tmax_s], axis=-1)        # (B,F,3)
+    return order, meta_s, start_all, end_all
 
 
 def _rasterize_kernel(start_ref, end_ref, roff_ref, z_ref, img_ref,

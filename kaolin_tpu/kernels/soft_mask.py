@@ -1,10 +1,14 @@
 """Pallas TPU kernels for the DIB-R soft silhouette mask.
 
 TPU-native re-design of ``kaolin/csrc/render/mesh/dibr_soft_mask_cuda.cu``.
-Same band-range pruning as the rasterizer kernel
-(:mod:`kaolin_tpu.kernels.rasterize`): faces sorted by enlarged-bbox ymax,
-per-8-row-band [start, end) chunk ranges via scalar prefetch, unconditional
-vectorized chunk loop (8 faces x (8, W) pixels).
+Column-tiled pruning shared with the rasterizer kernels
+(:func:`kaolin_tpu.kernels.rasterize._tile_face_ranges`): faces are sorted
+by (column-tile segment, enlarged-bbox ymax); each 8-row band is processed
+in 128-lane column tiles, and each tile runs three unconditional chunk
+loops (own segment, left-neighbor segment, wide-face segment) over
+scalar-prefetched [start, end) ranges. A per-face segment-id mask keeps
+boundary chunks (visited by two segment loops) from double-processing a
+(face, pixel) pair.
 
 ``knum`` semantics: the CUDA kernel records the first ``knum`` bbox-hits in
 *face order*; these kernels record the first ``knum`` in *spatially sorted*
@@ -27,19 +31,23 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .rasterize import _band_face_ranges, FACE_CHUNK, TILE_H
+from .rasterize import _tile_face_ranges, FACE_CHUNK, TILE_H, CT_W
 
 __all__ = ['soft_mask_forward_pallas', 'soft_mask_backward_pallas']
 
 _EPS = 1e-7  # dibr_soft_mask_cuda.cu:23
 
 
-def _chunk_distances(px, py, img, multiplier):
+def _chunk_distances(px, py, img, econst, multiplier):
     """Min over 6 squared pixel-face distances + argmin type.
 
-    ``img``: (8, 6) scaled verts; ``px``/``py``: (8, W). Returns
-    (dissquare, edgeid, edge_terms) of shape (8, 8, W); ``edge_terms`` is
-    a per-edge list of (up, inv_down) reused by the backward. Matches
+    ``img``: (8, 6) scaled verts; ``econst``: (8, 16) per-face edge
+    constants [A, B, C, 1/(down+eps), down] per edge, precomputed by the
+    XLA prepass (:func:`_edge_constants`) — ~27 tiny (8, 1) ops per
+    chunk otherwise dominate the chunk's fixed cost on the VPU.
+    ``px``/``py``: (th, w). Returns
+    (dissquare, edgeid, edge_terms) of shape (8, th, w); ``edge_terms``
+    is a per-edge list of (up, inv_down) reused by the backward. Matches
     ``dibr_soft_mask_cuda.cu:100-159``.
 
     Perf note: ``down`` is per-face, so one per-face reciprocal replaces
@@ -60,14 +68,11 @@ def _chunk_distances(px, py, img, multiplier):
     for i in range(3):
         x1 = img[:, i * 2][:, None, None]
         y1 = img[:, i * 2 + 1][:, None, None]
-        j = (i + 1) % 3
-        x2 = img[:, j * 2][:, None, None]
-        y2 = img[:, j * 2 + 1][:, None, None]
-        A = y2 - y1
-        B = x1 - x2
-        C = x2 * y1 - x1 * y2
-        down = A * A + B * B                       # per-face (8, 1, 1)
-        inv_down = 1. / (down + _EPS)
+        A = econst[:, i * 5 + 0][:, None, None]
+        B = econst[:, i * 5 + 1][:, None, None]
+        C = econst[:, i * 5 + 2][:, None, None]
+        inv_down = econst[:, i * 5 + 3][:, None, None]
+        down = econst[:, i * 5 + 4][:, None, None]
         up = A * pxb + B * pyb + C
         dot = A * (pyb - y1) - B * (pxb - x1)
         outside = (dot * (dot - down) > 0) | (down <= 0.)
@@ -87,10 +92,11 @@ def _chunk_distances(px, py, img, multiplier):
     return dissquare, edgeid, edge_terms
 
 
-def _hit_and_recorded(px, py, bbox, uncovered, count, knum):
+def _hit_and_recorded(px, py, bbox, valid, uncovered, count, knum):
     """Per-chunk bbox hits + first-knum recording mask.
 
-    Returns (hit (8,8,W) bool, recorded (8,8,W) bool, new_count (8,W)).
+    ``valid``: (8, 1, 1) per-face segment mask. Returns
+    (hit (8,th,w) bool, recorded (8,th,w) bool, new_count (th,w)).
     """
     pxb = px[None]
     pyb = py[None]
@@ -98,7 +104,7 @@ def _hit_and_recorded(px, py, bbox, uncovered, count, knum):
            & (pxb < bbox[:, 2][:, None, None])
            & (pyb >= bbox[:, 1][:, None, None])
            & (pyb < bbox[:, 3][:, None, None])
-           & uncovered[None])
+           & valid & uncovered[None])
     hit_i = hit.astype(jnp.int32)
     # unrolled prefix sum over the 8 chunk sublanes (cumsum is not
     # supported by the Pallas TPU lowering)
@@ -113,91 +119,114 @@ def _hit_and_recorded(px, py, bbox, uncovered, count, knum):
     return hit, recorded, count + cum[FACE_CHUNK - 1]
 
 
-def _sm_fwd_kernel(start_ref, end_ref, roff_ref, img_ref, bbox_ref, fidx_ref,
-                   mask_ref, *, height, width, total_height, knum, sigmainv,
-                   multiplier):
+def _face_mask(meta_ref, f0, seg, li, t):
+    """(8, 1, 1) mask selecting faces of segment ``seg``; the neighbor
+    loop (li == 1) additionally requires the face to reach tile ``t``."""
+    segf = meta_ref[0, pl.ds(f0, FACE_CHUNK), 1]
+    ok = segf == seg
+    if li == 1:
+        ok = ok & (meta_ref[0, pl.ds(f0, FACE_CHUNK), 2] >= t)
+    return ok[:, None, None]
+
+
+def _sm_fwd_kernel(start_ref, end_ref, roff_ref, img_ref, ec_ref, bbox_ref,
+                   meta_ref, fidx_ref, mask_ref, *, height, width, total_height, knum,
+                   sigmainv, multiplier):
     b = pl.program_id(0)
     r = pl.program_id(1)
-    row = (roff_ref[0] + r * TILE_H
-           + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, width), 0))
-    col = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, width), 1)
+    n_ct = width // CT_W
     dtype = img_ref.dtype
     H = total_height
-    px = (multiplier / width) * (2 * col + 1 - width).astype(dtype)
+    row = (roff_ref[0] + r * TILE_H
+           + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, CT_W), 0))
     py = (multiplier / H) * (H - 2 * row - 1).astype(dtype)
+    col0 = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, CT_W), 1)
     zscale = sigmainv / multiplier / multiplier
 
-    uncovered = fidx_ref[0, :, :] < 0
+    for t in range(n_ct):
+        px = (multiplier / width) * (
+            2 * (col0 + t * CT_W) + 1 - width).astype(dtype)
+        uncovered = fidx_ref[0, :, t * CT_W:(t + 1) * CT_W] < 0
 
-    def chunk_body(c, carry):
-        count, prod = carry
-        f0 = c * FACE_CHUNK
-        bbox = bbox_ref[0, pl.ds(f0, FACE_CHUNK), :]
-        img = img_ref[0, pl.ds(f0, FACE_CHUNK), :]
-        _, recorded, count = _hit_and_recorded(px, py, bbox, uncovered,
-                                               count, knum)
-        dissquare, _, _ = _chunk_distances(px, py, img, multiplier)
-        z = dissquare * zscale
-        prob = jnp.exp(-z)
-        terms = jnp.where(recorded, 1. - prob, 1.)
-        # unrolled product over the 8 chunk sublanes (reduce_prod is not
-        # supported by the Pallas TPU lowering)
-        for i in range(FACE_CHUNK):
-            prod = prod * terms[i]
-        return count, prod
+        def chunk_body(c, carry, seg, li, px=px, uncovered=uncovered, t=t):
+            count, prod = carry
+            f0 = c * FACE_CHUNK
+            bbox = bbox_ref[0, pl.ds(f0, FACE_CHUNK), :]
+            img = img_ref[0, pl.ds(f0, FACE_CHUNK), :]
+            valid = _face_mask(meta_ref, f0, seg, li, t)
+            _, recorded, count = _hit_and_recorded(
+                px, py, bbox, valid, uncovered, count, knum)
+            econst = ec_ref[0, pl.ds(f0, FACE_CHUNK), :]
+            dissquare, _, _ = _chunk_distances(px, py, img, econst,
+                                               multiplier)
+            z = dissquare * zscale
+            prob = jnp.exp(-z)
+            terms = jnp.where(recorded, 1. - prob, 1.)
+            # unrolled product over the 8 chunk sublanes (reduce_prod is
+            # not supported by the Pallas TPU lowering)
+            for i in range(FACE_CHUNK):
+                prod = prod * terms[i]
+            return count, prod
 
-    init = (jnp.zeros((TILE_H, width), jnp.int32),
-            jnp.ones((TILE_H, width), dtype))
-    _, prod = jax.lax.fori_loop(start_ref[b, r], end_ref[b, r], chunk_body,
-                                init)
-    mask_ref[0, :, :] = jnp.where(uncovered, 1. - prod,
-                                  jnp.asarray(1.0, dtype))
+        carry = (jnp.zeros((TILE_H, CT_W), jnp.int32),
+                 jnp.ones((TILE_H, CT_W), dtype))
+        segs = [(0, t), (2, n_ct)] if t == 0 else \
+            [(0, t), (1, t - 1), (2, n_ct)]
+        for li, seg in segs:
+            idx = (r * n_ct + t) * 3 + li
+            carry = jax.lax.fori_loop(
+                start_ref[b, idx], end_ref[b, idx],
+                functools.partial(chunk_body, seg=seg, li=li), carry)
+        _, prod = carry
+        mask_ref[0, :, t * CT_W:(t + 1) * CT_W] = jnp.where(
+            uncovered, 1. - prod, jnp.asarray(1.0, dtype))
 
 
-def _sm_bwd_kernel(start_ref, end_ref, roff_ref, img_ref, bbox_ref, fidx_ref,
-                   mask_ref, grad_in_ref, grad_ref, *, height, width,
-                   total_height, knum, sigmainv, multiplier):
+def _sm_bwd_kernel(start_ref, end_ref, roff_ref, img_ref, ec_ref, bbox_ref,
+                   meta_ref, fidx_ref, mask_ref, grad_in_ref, grad_ref, *, height,
+                   width, total_height, knum, sigmainv, multiplier):
     b = pl.program_id(0)
     r = pl.program_id(1)
-    row = (roff_ref[0] + r * TILE_H
-           + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, width), 0))
-    col = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, width), 1)
+    n_ct = width // CT_W
     dtype = img_ref.dtype
     H = total_height
-    px = (multiplier / width) * (2 * col + 1 - width).astype(dtype)
+    row = (roff_ref[0] + r * TILE_H
+           + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, CT_W), 0))
     py = (multiplier / H) * (H - 2 * row - 1).astype(dtype)
-
-    uncovered = fidx_ref[0, :, :] < 0
-    allprob = mask_ref[0, :, :]
-    dLdp = jnp.where(uncovered, grad_in_ref[0, :, :], 0.)
+    col0 = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, CT_W), 1)
+    zscale = sigmainv / multiplier / multiplier
 
     @pl.when(r == 0)
     def _():
         grad_ref[...] = jnp.zeros_like(grad_ref)
 
-    pxb = px[None]
-    pyb = py[None]
+    def tile_body(t, px, uncovered, allprob, dLdp):
+      pxb = px[None]
+      pyb = py[None]
 
-    def chunk_body(c, count):
+      def chunk_body(c, count, seg, li):
         f0 = c * FACE_CHUNK
         bbox = bbox_ref[0, pl.ds(f0, FACE_CHUNK), :]
         img = img_ref[0, pl.ds(f0, FACE_CHUNK), :]
-        _, recorded, count = _hit_and_recorded(px, py, bbox, uncovered,
-                                               count, knum)
-        dissquare, edgeid, edge_terms = _chunk_distances(px, py, img,
+        valid = _face_mask(meta_ref, f0, seg, li, t)
+        _, recorded, count = _hit_and_recorded(
+            px, py, bbox, valid, uncovered, count, knum)
+        econst = ec_ref[0, pl.ds(f0, FACE_CHUNK), :]
+        dissquare, edgeid, edge_terms = _chunk_distances(px, py, img, econst,
                                                          multiplier)
-        z = dissquare * (sigmainv / multiplier / multiplier)
-        prob = jnp.exp(-z)
+        prob = jnp.exp(-(dissquare * zscale))
         dLdz = (-1. * sigmainv * dLdp[None] * (1. - allprob[None])
                 / (1. - prob + _EPS) * prob)
         dLdz = jnp.where(recorded, dLdz, 0.)
 
-        # (8, 6) per-chunk-face gradient, reduced over the pixel band.
-        # All intermediates stay 2D — 1D values crash the Mosaic layout
-        # engine.
+        # (8, 6) per-chunk-face gradient, reduced over the tile.
+        # All intermediates stay 2D — 1D values crash the Mosaic
+        # layout engine.
         def _reduce(x):
-            return jnp.sum(jnp.sum(x, axis=2), axis=1,
-                           keepdims=True) / multiplier       # (8, 1)
+            # rows first: the 8 per-face row-folds then share one packed
+            # lane tree instead of 8 separate ones
+            return jnp.sum(jnp.sum(x, axis=1), axis=1,
+                           keepdims=True) / multiplier   # (8, 1)
 
         comps = [jnp.zeros((FACE_CHUNK, 1), dtype) for _ in range(6)]
         # vertex-distance cases (dibr_soft_mask_cuda.cu:289-302)
@@ -209,25 +238,27 @@ def _sm_bwd_kernel(start_ref, end_ref, roff_ref, img_ref, bbox_ref, fidx_ref,
             comps[v * 2 + 1] = comps[v * 2 + 1] + _reduce(
                 m_v * 2. * (y1 - pyb))
         # perpendicular cases (dibr_soft_mask_cuda.cu:304-348). The
-        # gradient table entries are (per-face scalar) x (per-pixel basis
-        # {up, up*px, up*py, up^2}): reduce the 4 basis terms over the
-        # band, then combine with per-face (8, 1) scalar math — this
-        # replaces ~20 full-band ops per edge with 5.
+        # gradient table entries are (per-face scalar) x (per-pixel
+        # basis {up, up*px, up*py, up^2}): reduce the 4 basis terms,
+        # then combine with per-face (8, 1) scalar math.
         for e in range(3):
-            x1 = img[:, e * 2][:, None]                       # (8, 1)
+            x1 = img[:, e * 2][:, None]                   # (8, 1)
             y1 = img[:, e * 2 + 1][:, None]
             j = (e + 1) % 3
             x2 = img[:, j * 2][:, None]
             y2 = img[:, j * 2 + 1][:, None]
-            A = y2 - y1
-            B = x1 - x2
+            A = econst[:, e * 5 + 0][:, None]
+            B = econst[:, e * 5 + 1][:, None]
             up, inv_down = edge_terms[e]
-            inv2 = inv_down[:, :, 0]                          # (8, 1)
+            inv2 = inv_down[:, :, 0]                      # (8, 1)
+            C = econst[:, e * 5 + 2][:, None]
             m_up = jnp.where(edgeid == e, dLdz, 0.) * up
-            s1 = _reduce(m_up)                                # sum m*up
-            s2 = _reduce(m_up * pxb)                          # sum m*up*px
-            s3 = _reduce(m_up * pyb)                          # sum m*up*py
-            s4 = _reduce(m_up * up)                           # sum m*up^2
+            s1 = _reduce(m_up)                            # sum m*up
+            s2 = _reduce(m_up * pxb)                      # sum m*up*px
+            s3 = _reduce(m_up * pyb)                      # sum m*up*py
+            # up^2 = A*px*up + B*py*up + C*up (up is affine in px, py),
+            # so the 4th moment is a free linear combination
+            s4 = A * s2 + B * s3 + C * s1                 # sum m*up^2
             dzdA = 2. * (s2 - A * inv2 * s4) * inv2
             dzdB = 2. * (s3 - B * inv2 * s4) * inv2
             dzdC = 2. * s1 * inv2
@@ -236,17 +267,50 @@ def _sm_bwd_kernel(start_ref, end_ref, roff_ref, img_ref, bbox_ref, fidx_ref,
             comps[j * 2] = comps[j * 2] + (y1 * dzdC - dzdB)
             comps[j * 2 + 1] = comps[j * 2 + 1] + (dzdA - x1 * dzdC)
 
-        delta = jnp.concatenate(comps, axis=1)                # (8, 6)
+        delta = jnp.concatenate(comps, axis=1)            # (8, 6)
         grad_ref[0, pl.ds(f0, FACE_CHUNK), :] = (
             grad_ref[0, pl.ds(f0, FACE_CHUNK), :] + delta)
         return count
 
-    jax.lax.fori_loop(start_ref[b, r], end_ref[b, r], chunk_body,
-                      jnp.zeros((TILE_H, width), jnp.int32))
+      count = jnp.zeros((TILE_H, CT_W), jnp.int32)
+      segs = [(0, t), (2, n_ct)] if t == 0 else \
+          [(0, t), (1, t - 1), (2, n_ct)]
+      for li, seg in segs:
+          idx = (r * n_ct + t) * 3 + li
+          count = jax.lax.fori_loop(
+              start_ref[b, idx], end_ref[b, idx],
+              functools.partial(chunk_body, seg=seg, li=li), count)
+
+    for t in range(n_ct):
+        sl = slice(t * CT_W, (t + 1) * CT_W)
+        px = (multiplier / width) * (
+            2 * (col0 + t * CT_W) + 1 - width).astype(dtype)
+        uncovered = fidx_ref[0, :, sl] < 0
+        allprob = mask_ref[0, :, sl]
+        dLdp = jnp.where(uncovered, grad_in_ref[0, :, sl], 0.)
+        tile_body(t, px, uncovered, allprob, dLdp)
 
 
-def _prep(img_scaled, bboxes, height, multiplier, row_start, total_height):
-    """Pads to FACE_CHUNK, sorts by enlarged-bbox ymax, band ranges."""
+def _edge_constants(img_s):
+    """(B, F, 16) packed per-edge constants [A, B, C, 1/(down+eps),
+    down] x 3 edges (+1 pad lane), from (B, F, 6) scaled verts."""
+    cols = []
+    for i in range(3):
+        x1, y1 = img_s[..., i * 2], img_s[..., i * 2 + 1]
+        j = (i + 1) % 3
+        x2, y2 = img_s[..., j * 2], img_s[..., j * 2 + 1]
+        A = y2 - y1
+        B = x1 - x2
+        C = x2 * y1 - x1 * y2
+        down = A * A + B * B
+        cols += [A, B, C, 1. / (down + _EPS), down]
+    cols.append(jnp.zeros_like(cols[0]))
+    return jnp.stack(cols, axis=-1)
+
+
+def _prep(img_scaled, bboxes, height, width, multiplier, row_start,
+          total_height):
+    """Pads to FACE_CHUNK, column-tile sorts, per-(band, tile) ranges."""
     B, F, _ = img_scaled.shape
     pad = (-F) % FACE_CHUNK
     if pad:
@@ -256,12 +320,12 @@ def _prep(img_scaled, bboxes, height, multiplier, row_start, total_height):
             (B, pad, 1))
         bboxes = jnp.concatenate([bboxes, empty], axis=1)
         img_scaled = jnp.pad(img_scaled, ((0, 0), (0, pad), (0, 0)))
-    order = jnp.argsort(-bboxes[..., 3], axis=1).astype(jnp.int32)
+    order, meta_s, start_all, end_all = _tile_face_ranges(
+        bboxes, height, width, float(multiplier), row_start, total_height)
     img_s = jnp.take_along_axis(img_scaled, order[..., None], axis=1)
     bb_s = jnp.take_along_axis(bboxes, order[..., None], axis=1)
-    start_c, end_c = _band_face_ranges(bb_s, height, float(multiplier),
-                                       row_start, total_height)
-    return img_s, bb_s, order, start_c, end_c
+    return img_s, _edge_constants(img_s), bb_s, order, meta_s, start_all, \
+        end_all
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -278,8 +342,9 @@ def soft_mask_forward_pallas(img_scaled, bboxes, selected_face_idx,
     if total_height is None:
         total_height = height
     row_start = jnp.asarray(row_start, jnp.int32)
-    img_s, bb_s, _, start_c, end_c = _prep(
-        img_scaled, bboxes, height, multiplier, row_start, total_height)
+    img_s, ec_s, bb_s, _, meta_s, start_all, end_all = _prep(
+        img_scaled, bboxes, height, width, multiplier, row_start,
+        total_height)
     Fp = img_s.shape[1]
     kernel = functools.partial(
         _sm_fwd_kernel, height=height, width=width,
@@ -291,12 +356,17 @@ def soft_mask_forward_pallas(img_scaled, bboxes, selected_face_idx,
         in_specs=[
             pl.BlockSpec((1, Fp, 6), lambda b, r, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Fp, 16), lambda b, r, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Fp, 4), lambda b, r, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Fp, 3), lambda b, r, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE_H, width), lambda b, r, *_: (b, r, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TILE_H, width), lambda b, r, *_: (b, r, 0),
+        out_specs=pl.BlockSpec((1, TILE_H, width),
+                               lambda b, r, *_: (b, r, 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
@@ -304,7 +374,8 @@ def soft_mask_forward_pallas(img_scaled, bboxes, selected_face_idx,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, height, width), img_scaled.dtype),
         interpret=interpret,
-    )(start_c, end_c, row_start[None], img_s, bb_s, selected_face_idx)
+    )(start_all.reshape(B, -1), end_all.reshape(B, -1), row_start[None],
+      img_s, ec_s, bb_s, meta_s, selected_face_idx)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -321,8 +392,9 @@ def soft_mask_backward_pallas(img_scaled, bboxes, selected_face_idx,
     if total_height is None:
         total_height = height
     row_start = jnp.asarray(row_start, jnp.int32)
-    img_s, bb_s, order, start_c, end_c = _prep(
-        img_scaled, bboxes, height, multiplier, row_start, total_height)
+    img_s, ec_s, bb_s, order, meta_s, start_all, end_all = _prep(
+        img_scaled, bboxes, height, width, multiplier, row_start,
+        total_height)
     Fp = img_s.shape[1]
     kernel = functools.partial(
         _sm_bwd_kernel, height=height, width=width,
@@ -334,7 +406,11 @@ def soft_mask_backward_pallas(img_scaled, bboxes, selected_face_idx,
         in_specs=[
             pl.BlockSpec((1, Fp, 6), lambda b, r, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Fp, 16), lambda b, r, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Fp, 4), lambda b, r, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Fp, 3), lambda b, r, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE_H, width), lambda b, r, *_: (b, r, 0),
                          memory_space=pltpu.VMEM),
@@ -345,7 +421,6 @@ def soft_mask_backward_pallas(img_scaled, bboxes, selected_face_idx,
         ],
         out_specs=pl.BlockSpec((1, Fp, 6), lambda b, r, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[],
     )
     grad_sorted = pl.pallas_call(
         kernel,
@@ -354,8 +429,9 @@ def soft_mask_backward_pallas(img_scaled, bboxes, selected_face_idx,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary', 'arbitrary')),
         interpret=interpret,
-    )(start_c, end_c, row_start[None], img_s, bb_s, selected_face_idx,
-      soft_mask, grad_soft_mask)
+    )(start_all.reshape(B, -1), end_all.reshape(B, -1), row_start[None],
+      img_s, ec_s, bb_s, meta_s, selected_face_idx, soft_mask,
+      grad_soft_mask)
     # unsort back to original face order, drop padding
     inv = jnp.argsort(order, axis=1)
     grad = jnp.take_along_axis(grad_sorted, inv[..., None], axis=1)
