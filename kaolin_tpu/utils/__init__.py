@@ -1,1 +1,2 @@
 from . import testing
+from . import checkpoint
