@@ -148,9 +148,8 @@ class Stage:
         with open(file_path, 'rb') as f:
             head = f.read(8)
         if head.startswith(b'PXR-USDC'):
-            raise NotImplementedError(
-                'binary .usdc files require pxr (usd-core), which is not '
-                'available; use .usda')
+            from . import usdc
+            return usdc.read_usdc(file_path, cls)
         stage = cls(file_path)
         with open(file_path, 'r', encoding='utf-8') as f:
             text = f.read()
@@ -179,7 +178,8 @@ class Stage:
                 return raw == 'true'
             if usd_type in ('int', 'float', 'double'):
                 return float(raw) if usd_type != 'int' else int(raw)
-            nums = re.findall(r'-?[\d.eE+]+', raw)
+            nums = re.findall(
+                r'[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?', raw)
             vals = [float(n) for n in nums]
             if '(' in raw:
                 # tuple array: infer the tuple arity
@@ -477,7 +477,9 @@ def add_voxelgrid(stage, scene_path, voxelgrid, time=None):
     prim = stage.define_prim(scene_path, 'PointInstancer')
     vg = np.asarray(voxelgrid)
     idx = np.argwhere(vg > 0.5).astype(np.int64)
-    prim.attrs['resolution'] = ('int', vg.shape[0])
+    # reference-compatible metadata (io/usd.py:1253-1255)
+    prim.attrs['primvars:grid_size'] = ('int', vg.shape[0])
+    prim.attrs['primvars:kaolin_type'] = ('string', 'VoxelGrid')
     if time is None:
         prim.attrs['positions'] = ('point3f[]', idx.astype(np.float64))
     else:
@@ -505,11 +507,18 @@ def import_voxelgrid(file_path_or_stage, scene_path=None, time=None):
             raise ValueError('no PointInstancer prim found')
         scene_path = paths[0]
     prim = stage.get_prim(scene_path)
-    res = int(prim.attrs['resolution'][1])
     pos = _value_at(prim, 'positions', time)
+    idx = np.round(np.asarray(pos)).astype(np.int64) \
+        if pos is not None and len(pos) else np.zeros((0, 3), np.int64)
+    if 'primvars:grid_size' in prim.attrs:
+        res = int(prim.attrs['primvars:grid_size'][1])
+    elif 'resolution' in prim.attrs:          # files written before the
+        res = int(prim.attrs['resolution'][1])  # grid_size convention
+    else:
+        # reference fallback: largest occupied axis (io/usd.py:1148)
+        res = int(idx.max()) + 1 if len(idx) else 0
     grid = np.zeros((res, res, res), bool)
-    if pos is not None and len(pos):
-        idx = np.asarray(pos, np.int64)
+    if len(idx):
         grid[idx[:, 0], idx[:, 1], idx[:, 2]] = True
     return jnp.asarray(grid)
 
