@@ -227,3 +227,37 @@ def test_texture_mapping_matches_torch_grid_sample():
         ref = ref.permute(0, 2, 3, 1).reshape(2, 9, 11, 3).numpy()
         np.testing.assert_allclose(ours, ref, atol=1e-5,
                                    err_msg=f'mode={mode}')
+
+
+def test_import_synthetic_view_fixture():
+    """Against the reference's synthetic-view sample
+    (``tests/python/kaolin/io/test_render.py:100``)."""
+    import json as _json
+    import math as _math
+    root = '/root/reference/tests/samples/synthetic'
+    if not os.path.isdir(root):
+        pytest.skip('reference fixtures unavailable')
+    from kaolin_tpu.io.render import import_synthetic_view
+    out = import_synthetic_view(root, 0, rgb=True, normals=True,
+                                bbox_2d_tight=True, bbox_2d_loose=True)
+    from PIL import Image
+    exp_rgb = np.array(Image.open(os.path.join(root, '0_rgb.png'))
+                       )[:, :, :3].astype(np.float32) / 255.
+    np.testing.assert_array_equal(np.asarray(out['rgb']), exp_rgb)
+    assert out['normals'].shape == exp_rgb.shape
+    meta = _json.load(open(os.path.join(root, '0_metadata.json')))
+    np.testing.assert_allclose(
+        np.asarray(out['metadata']['cam_transform']),
+        np.asarray(meta['camera_properties']['tf_mat'],
+                   np.float32)[:, :3])
+    cam = meta['camera_properties']
+    fov = 2 * _math.atan(cam['horizontal_aperture']
+                         / (2 * cam['focal_length']))
+    ar = cam['resolution']['width'] / cam['resolution']['height']
+    from kaolin_tpu.render.camera import generate_perspective_projection
+    np.testing.assert_allclose(np.asarray(out['metadata']['cam_proj']),
+                               np.asarray(generate_perspective_projection(
+                                   fov, ar)), rtol=1e-6)
+    assert out['bbox_2d_tight'] == meta['bbox_2d_tight']
+    assert out['metadata']['clipping_range'] == \
+        cam['clipping_range']
