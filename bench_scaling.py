@@ -46,6 +46,7 @@ def main():
     from __graft_entry__ import _scene
 
     n_total = jax.device_count()
+    on_cpu = jax.default_backend() == 'cpu'
     H = W = args.res
     results = []
     base = None
@@ -81,10 +82,18 @@ def main():
         mpix = H * W / dt / 1e6
         if base is None:
             base = mpix
-        eff = mpix / (base * n)
-        results.append({'devices': n, 'mpixels_per_s': round(mpix, 3),
-                        'efficiency_vs_1': round(eff, 3)})
-        print(json.dumps(results[-1]))
+        rec = {'devices': n, 'mpixels_per_s': round(mpix, 3)}
+        if on_cpu:
+            # virtual devices time-share one host CPU: per-chip
+            # efficiency is meaningless; report total throughput vs the
+            # 1-device run — a partitioning/collective overhead check
+            # (~1.0 or above = the sharded program adds no overhead)
+            rec['relative_throughput'] = round(mpix / base, 3)
+            rec['note'] = 'virtual CPU devices (overhead check only)'
+        else:
+            rec['efficiency_vs_1'] = round(mpix / (base * n), 3)
+        results.append(rec)
+        print(json.dumps(rec))
     return results
 
 
