@@ -1,0 +1,216 @@
+"""Benchmark suite: the five BASELINE.json workload configs, one JSON
+line each (ms per unit of work, single chip).
+
+`bench.py` remains the headline metric (config-2-shaped DIB-R 512^2);
+this suite tracks the full workload envelope:
+
+1. DIB-R 256^2 silhouette-loss vertex optimization step (config 1).
+2. DIB-R 512^2 textured + Lambertian, batch 8, pose/vertex grads
+   (config 2).
+3. 100k-point chamfer + point_to_mesh_distance (config 3).
+4. DefTet volumetric render fwd+bwd (config 4).
+5. SPC raytrace 256^2 rays at level 8 (config 5; see bench_raytrace.py
+   for the deep-dive harness).
+
+Timing: iterations chained inside one jit via lax.scan, best of
+``--reps`` repeats (per-call host timing is meaningless through the
+shared axon TPU tunnel — see CLAUDE.md).
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def _time(fn, arg, iters, reps=3):
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda a: jax.lax.scan(
+        lambda c, _: (fn(c), None), a, None, length=iters)[0])
+    jax.block_until_ready(f(arg))
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = f(arg)
+        jax.block_until_ready(out)
+        float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
+        best = min(best, time.perf_counter() - t0)
+    return best / iters * 1000.
+
+
+def bench_dibr_opt(iters):
+    """Config 1: one Adam-style silhouette-loss step at 256^2."""
+    import jax
+    import jax.numpy as jnp
+    import kaolin_tpu as kal
+    from __graft_entry__ import _scene
+
+    H = W = 256
+    verts, faces, cam_rot, cam_trans, cam_proj = _scene(1, 3, jnp.float32)
+    target = jnp.zeros((1, H, W), jnp.float32)
+
+    def step(v):
+        def loss_fn(v):
+            fvc, fvi, fn = kal.render.mesh.prepare_vertices(
+                v, faces, cam_proj, camera_rot=cam_rot,
+                camera_trans=cam_trans)
+            ff = jnp.ones(fvc.shape[:3] + (1,))
+            _, sm, _ = kal.render.mesh.dibr_rasterization(
+                H, W, fvc[..., 2], fvi, ff, fn[..., 2])
+            return kal.metrics.render.mask_iou(sm, target)
+        _, g = jax.value_and_grad(loss_fn)(v)
+        return v - 1e-3 * g
+
+    return {'metric': 'dibr_256_silhouette_step', 'unit': 'ms/step',
+            'value': round(_time(step, verts, iters), 3)}
+
+
+def bench_dibr_textured(iters):
+    """Config 2: 512^2 textured + Lambertian, batch 8, vertex grads."""
+    import jax
+    import jax.numpy as jnp
+    import kaolin_tpu as kal
+    from __graft_entry__ import _scene
+
+    B, H, W = 8, 512, 512
+    verts, faces, cam_rot, cam_trans, cam_proj = _scene(B, 3, jnp.float32)
+    rng = np.random.default_rng(0)
+    texture = jnp.asarray(rng.random((B, 3, 64, 64)), jnp.float32)  # NCHW
+    nv = verts.shape[1]
+    uvs = jnp.asarray(rng.random((B, nv, 2)), jnp.float32)  # [0, 1]
+    face_uvs = uvs[:, faces]                      # (B, F, 3, 2)
+    target = jnp.zeros((B, H, W, 3), jnp.float32)
+
+    def step(v):
+        def loss_fn(v):
+            fvc, fvi, fn = kal.render.mesh.prepare_vertices(
+                v, faces, cam_proj, camera_rot=cam_rot,
+                camera_trans=cam_trans)
+            ff = [jnp.broadcast_to(face_uvs, fvc.shape[:3] + (2,)),
+                  jnp.broadcast_to(fn[:, :, None, 2:],
+                                   fvc.shape[:3] + (1,))]
+            (uv_map, nz_map), _ = kal.render.mesh.rasterize(
+                H, W, fvc[..., 2], fvi, ff, fn[..., 2] >= 0)
+            img = kal.render.mesh.texture_mapping(uv_map, texture,
+                                                  mode='bilinear')
+            img = img * jnp.clip(nz_map, 0., 1.)   # Lambertian-ish shade
+            return jnp.mean(jnp.abs(img - target))
+        _, g = jax.value_and_grad(loss_fn)(v)
+        return v - 1e-6 * g
+
+    ms = _time(step, verts, iters)
+    return {'metric': 'dibr_512_textured_b8', 'unit': 'ms/frame',
+            'value': round(ms / B, 3)}
+
+
+def bench_pointcloud(iters):
+    """Config 3: chamfer(100k, 100k) + point_to_mesh(100k, 10k faces)."""
+    import jax
+    import jax.numpy as jnp
+    from kaolin_tpu.metrics.pointcloud import chamfer_distance
+    from kaolin_tpu.metrics.trianglemesh import point_to_mesh_distance
+
+    rng = np.random.default_rng(0)
+    p1 = jnp.asarray(rng.random((1, 100_000, 3)), jnp.float32)
+    p2 = jnp.asarray(rng.random((1, 100_000, 3)), jnp.float32)
+    fv = jnp.asarray(rng.random((1, 10_000, 3, 3)), jnp.float32)
+
+    def step(p):
+        c = chamfer_distance(p, p2)
+        d, _, _ = point_to_mesh_distance(p, fv)
+        return p + 1e-20 * (c[..., None, None] + jnp.mean(d))
+
+    return {'metric': 'chamfer100k_p2m10k', 'unit': 'ms/iter',
+            'value': round(_time(step, p1, iters), 3)}
+
+
+def bench_deftet(iters):
+    """Config 4: DefTet sparse render fwd+bwd, 64^2 pixels, 10k faces."""
+    import jax
+    import jax.numpy as jnp
+    from kaolin_tpu.render.mesh import deftet_sparse_render
+
+    rng = np.random.default_rng(0)
+    B, P, F = 1, 64 * 64, 10_000
+    ys, xs = np.meshgrid(np.linspace(-1, 1, 64), np.linspace(-1, 1, 64))
+    pc = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], -1)[None],
+                     jnp.float32)
+    rr = jnp.asarray(np.tile([[-1e10, 0.]], (P, 1))[None], jnp.float32)
+    fvz = jnp.asarray(-1. - rng.random((B, F, 3)), jnp.float32)
+    fvi = jnp.asarray(rng.uniform(-1, 1, (B, F, 3, 2)), jnp.float32)
+    ff = jnp.asarray(rng.random((B, F, 3, 2)), jnp.float32)
+
+    def step(fvi):
+        def loss_fn(fvi):
+            feat, _ = deftet_sparse_render(pc, rr, fvz, fvi, ff, knum=30)
+            return jnp.sum(feat ** 2)
+        _, g = jax.value_and_grad(loss_fn)(fvi)
+        return fvi - 1e-9 * g
+
+    return {'metric': 'deftet_64x64_10kfaces', 'unit': 'ms/iter',
+            'value': round(_time(step, fvi, iters), 3)}
+
+
+def bench_raytrace(iters):
+    """Config 5: SPC raytrace, 256^2 rays, level-8 sphere shell."""
+    import jax
+    import jax.numpy as jnp
+    from kaolin_tpu.ops.spc import (quantize_points,
+                                    unbatched_points_to_octree,
+                                    scan_octrees, generate_points)
+    from kaolin_tpu.render.spc import (unbatched_raytrace_fixed,
+                                       generate_primary_rays)
+    from kaolin_tpu.render.spc.raytrace import plan_raytrace
+
+    rng = np.random.default_rng(0)
+    dirs = rng.normal(size=(200_000, 3))
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    level = 8
+    qpts = quantize_points(jnp.asarray(dirs * 0.7, jnp.float32), level)
+    octree = unbatched_points_to_octree(qpts, level)
+    lengths = np.array([len(np.asarray(octree))])
+    _, pyramids, exsum = scan_octrees(octree, lengths)
+    ph = generate_points(octree, pyramids, exsum)
+    o, d = generate_primary_rays(256, 256, jnp.asarray([0., 0., 2.5]),
+                                 jnp.zeros(3), jnp.asarray([0., 1., 0.]),
+                                 np.pi / 3)
+    sched = plan_raytrace(octree, ph, exsum, o, d, level, cap=64 * 65536)
+    cap = max(max(int(c) for c in sched), 65536)
+
+    def step(o):
+        _, _, dep, cnt = unbatched_raytrace_fixed(
+            octree, ph, exsum, o, d, level, cap, cap_schedule=sched)
+        return o + 1e-20 * jnp.max(dep)
+
+    return {'metric': 'spc_raytrace_256_L8', 'unit': 'ms/trace',
+            'value': round(_time(step, o, iters), 3)}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--iters', type=int, default=10)
+    p.add_argument('--only', type=str, default=None,
+                   help='comma-separated subset: opt,textured,pcl,'
+                        'deftet,raytrace')
+    args = p.parse_args()
+    benches = {
+        'opt': bench_dibr_opt,
+        'textured': bench_dibr_textured,
+        'pcl': bench_pointcloud,
+        'deftet': bench_deftet,
+        'raytrace': bench_raytrace,
+    }
+    names = args.only.split(',') if args.only else list(benches)
+    for name in names:
+        try:
+            print(json.dumps(benches[name](args.iters)), flush=True)
+        except Exception as e:                          # noqa: BLE001
+            print(json.dumps({'metric': name, 'error': repr(e)[:200]}),
+                  flush=True)
+
+
+if __name__ == '__main__':
+    main()

@@ -3,6 +3,7 @@
 Reference: ``kaolin/render/mesh/utils.py:23-175``.
 """
 
+import jax
 import jax.numpy as jnp
 
 from .. import camera
@@ -16,7 +17,7 @@ __all__ = [
 ]
 
 
-def grid_sample_2d(input_maps, grid, mode='bilinear'):
+def grid_sample_2d(input_maps, grid, mode='bilinear', backend='auto'):
     """2D grid sampling, matching ``torch.nn.functional.grid_sample`` with
     ``align_corners=False`` and ``padding_mode='border'``.
 
@@ -24,11 +25,13 @@ def grid_sample_2d(input_maps, grid, mode='bilinear'):
         input_maps: (batch_size, channels, h_in, w_in).
         grid: (batch_size, h_out, w_out, 2) coords in [-1, 1] (x, y).
         mode: 'bilinear' or 'nearest'.
+        backend: 'pallas' (gather-free TPU kernel, h_in/w_in <= 128),
+            'xla' (portable gathers), or 'auto'.
 
     Returns:
         (batch_size, channels, h_out, w_out).
     """
-    _, _, h_in, w_in = input_maps.shape
+    b, _, h_in, w_in = input_maps.shape
     x = grid[..., 0]
     y = grid[..., 1]
     # unnormalize: align_corners=False mapping
@@ -37,6 +40,18 @@ def grid_sample_2d(input_maps, grid, mode='bilinear'):
     # border padding: clip the coordinate itself
     ix = jnp.clip(ix, 0., w_in - 1.)
     iy = jnp.clip(iy, 0., h_in - 1.)
+
+    if backend == 'auto':
+        backend = 'pallas' if (jax.default_backend() == 'tpu'
+                               and h_in <= 128 and w_in <= 128) else 'xla'
+    if backend in ('pallas', 'pallas_interpret') and h_in <= 128 \
+            and w_in <= 128:
+        from ...kernels.texture import grid_sample_coords
+        out = grid_sample_coords(
+            input_maps, ix.reshape(b, -1), iy.reshape(b, -1), mode,
+            backend == 'pallas_interpret')
+        out = jnp.moveaxis(out, -1, 1)             # (B, C, P)
+        return out.reshape(input_maps.shape[:2] + ix.shape[1:])
 
     if mode == 'nearest':
         ix_n = jnp.round(ix).astype(jnp.int32)
