@@ -1,11 +1,12 @@
 """USD scene I/O: meshes, pointclouds, voxelgrids, with time samples.
 
 Reference: ``kaolin/io/usd.py:306-1336``. The reference requires pxr
-(usd-core); this module implements a self-contained **USDA (ASCII)**
-subset writer/parser instead — stages written here are valid ``.usda``
+(usd-core); this module implements a self-contained **USD** subset
+writer/parser instead — stages written here are valid ``.usda``
 readable by standard USD tools, and this module round-trips its own
 files (plus any usda whose prims use the attribute forms emitted here).
-Binary ``.usdc`` files require pxr and raise a helpful error.
+Binary ``.usdc`` (crate) files are read transparently and written when
+the target path ends in ``.usdc`` (see :mod:`kaolin_tpu.io.usdc`).
 """
 
 import os
@@ -98,6 +99,9 @@ class Stage:
 
     # --- save / load -----------------------------------------------------
     def save(self):
+        if os.path.splitext(str(self.file_path))[1].lower() == '.usdc':
+            from . import usdc
+            return usdc.write_usdc(self)
         lines = ['#usda 1.0', '(']
         if self.default_prim:
             lines.append(f'    defaultPrim = "{self.default_prim}"')

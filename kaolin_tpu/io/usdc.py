@@ -1,13 +1,15 @@
-"""Binary USD (usdc, "crate") file reader.
+"""Binary USD (usdc, "crate") file reader and writer.
 
-Self-contained reader for the Pixar crate format (no ``pxr``
-dependency), covering the subset the reference's I/O layer exercises —
-mesh / pointcloud / voxelgrid prims with default values and time
-samples — i.e. everything ``Timelapse`` and the reference test fixtures
-(``tests/samples/timelapse/**.usd``) contain. Parsed files are loaded
-into the same in-memory :class:`kaolin_tpu.io.usd.Stage` prim tree the
-usda parser produces, so every importer works unchanged on binary
-files.
+Self-contained reader **and writer** for the Pixar crate format (no
+``pxr`` dependency), covering the subset the reference's I/O layer
+exercises — mesh / pointcloud / voxelgrid prims with default values and
+time samples — i.e. everything ``Timelapse`` and the reference test
+fixtures (``tests/samples/timelapse/**.usd``) contain. Parsed files are
+loaded into the same in-memory :class:`kaolin_tpu.io.usd.Stage` prim
+tree the usda parser produces, so every importer works unchanged on
+binary files; :func:`write_usdc` serializes a Stage back to crate
+(version 0.8.0 layout, the same layout the reader was validated
+against on pxr-written fixtures).
 
 Format notes (validated against the reference fixtures, crate version
 0.8.0; layout per pxr's ``crateFile.cpp``):
@@ -26,7 +28,7 @@ import struct
 
 import numpy as np
 
-__all__ = ['read_usdc', 'is_usdc']
+__all__ = ['read_usdc', 'write_usdc', 'is_usdc']
 
 # crate type enum (crateDataTypes.h order), subset we interpret
 _BOOL, _UCHAR, _INT, _UINT, _INT64, _UINT64 = 1, 2, 3, 4, 5, 6
@@ -402,6 +404,382 @@ class _Crate:
             name, rep = self.fields[fi]
             out[name] = rep
         return out
+
+
+# --------------------------------------------------------------------------
+# writer
+# --------------------------------------------------------------------------
+
+def _lz4_literal_block(data):
+    """Encodes ``data`` as a single literal-only LZ4 sequence (always a
+    valid block: the final sequence of a block carries literals only)."""
+    out = bytearray()
+    lit = len(data)
+    out.append(min(lit, 15) << 4)
+    if lit >= 15:
+        rem = lit - 15
+        while rem >= 255:
+            out.append(255)
+            rem -= 255
+        out.append(rem)
+    out += data
+    return bytes(out)
+
+
+def _compress(data):
+    """Inverse of :func:`_decompress` (chunk-count byte 0 = one block)."""
+    return b'\0' + _lz4_literal_block(data)
+
+
+def _encode_ints(vals):
+    """Inverse of :func:`_decode_ints`: delta-code + 2-bit size codes,
+    LZ4-wrapped. Returns the compressed buffer (without the u64 size)."""
+    vals = np.asarray(vals, np.int64)
+    n = len(vals)
+    if n == 0:
+        return _compress(b'')
+    deltas = np.diff(np.concatenate([np.zeros(1, np.int64), vals]))
+    in32 = deltas[(deltas >= -2**31) & (deltas < 2**31)]
+    if len(in32):
+        uniq, cnt = np.unique(in32, return_counts=True)
+        common = int(uniq[np.argmax(cnt)])
+    else:
+        common = 0
+    codes = np.full(n, 3, np.uint8)                       # i32 default
+    codes[deltas == common] = 0
+    codes[(codes == 3) & (deltas >= -128) & (deltas < 128)] = 1
+    codes[(codes == 3) & (deltas >= -2**15) & (deltas < 2**15)] = 2
+    ncode = (2 * n + 7) // 8
+    packed = np.zeros(ncode, np.uint8)
+    shifted = (codes.astype(np.uint32)
+               << (2 * (np.arange(n, dtype=np.uint32) & 3)))
+    np.add.at(packed, np.arange(n) // 4, shifted.astype(np.uint8))
+    body = bytearray(struct.pack('<i', common))
+    body += packed.tobytes()
+    # variable-width deltas stored consecutively in value order
+    chunks = []
+    for i in np.nonzero(codes)[0]:
+        d = int(deltas[i])
+        chunks.append(struct.pack('<b' if codes[i] == 1 else
+                                  '<h' if codes[i] == 2 else '<i', d))
+    body += b''.join(chunks)
+    return _compress(bytes(body))
+
+
+# usd_type string (as the usda layer uses) -> crate array element type
+_USD_ARRAY_TYPES = {
+    'point3f[]': _VEC3F, 'normal3f[]': _VEC3F, 'color3f[]': _VEC3F,
+    'float3[]': _VEC3F, 'vector3f[]': _VEC3F,
+    'texCoord2f[]': _VEC2F, 'float2[]': _VEC2F,
+    'int[]': _INT, 'int64[]': _INT64,
+    'float[]': _FLOAT, 'double[]': _DOUBLE,
+}
+
+
+class _CrateWriter:
+    """Serializes a ``usd.Stage`` prim tree to crate 0.8.0 bytes,
+    emitting exactly the encodings :class:`_Crate` consumes (u64 array
+    counts, uncompressed out-of-line arrays, compressed structural
+    int streams)."""
+
+    def __init__(self):
+        self.buf = bytearray(88)            # bootstrap header space
+        self._tokens = {}
+        self.tokens = []
+        self.token('')                      # index 0 reserved (empty)
+        self._strings = {}
+        self.strings = []
+        self._fields = {}
+        self.fields = []                    # (token_idx, rep)
+        self.fieldset_flat = []
+        self.specs = []                     # (path_idx, fset_start, ty)
+
+    # --- tables ---------------------------------------------------------
+    def token(self, t):
+        if t not in self._tokens:
+            self._tokens[t] = len(self.tokens)
+            self.tokens.append(t)
+        return self._tokens[t]
+
+    def string(self, s):
+        if s not in self._strings:
+            self._strings[s] = len(self.strings)
+            self.strings.append(self.token(s))
+        return self._strings[s]
+
+    def field(self, name, rep):
+        key = (self.token(name), rep)
+        if key not in self._fields:
+            self._fields[key] = len(self.fields)
+            self.fields.append(key)
+        return self._fields[key]
+
+    def fieldset(self, field_indices):
+        start = len(self.fieldset_flat)
+        self.fieldset_flat.extend(field_indices)
+        self.fieldset_flat.append(-1)
+        return start
+
+    # --- value emission ---------------------------------------------------
+    def _align(self):
+        pad = (-len(self.buf)) % 8
+        self.buf += b'\0' * pad
+
+    def _emit(self, data):
+        self._align()
+        off = len(self.buf)
+        self.buf += data
+        return off
+
+    @staticmethod
+    def _rep(ty, payload, array=False, inlined=False, compressed=False):
+        r = (ty & 0xFF) << 48 | (payload & ((1 << 48) - 1))
+        if array:
+            r |= 1 << 63
+        if inlined:
+            r |= 1 << 62
+        if compressed:
+            r |= 1 << 61
+        return r
+
+    def token_rep(self, t):
+        return self._rep(_TOKEN, self.token(t), inlined=True)
+
+    def token_vector_rep(self, toks):
+        idx = [self.token(t) for t in toks]
+        data = struct.pack('<Q', len(idx)) + np.asarray(
+            idx, '<u4').tobytes()
+        return self._rep(_TOKEN_VECTOR, self._emit(data))
+
+    def array_rep(self, usd_type, value):
+        ty = _USD_ARRAY_TYPES.get(usd_type)
+        arr = np.asarray(value)
+        if ty is None:                      # fall back on value shape
+            if np.issubdtype(arr.dtype, np.integer):
+                ty = _INT
+            elif arr.ndim == 2 and arr.shape[1] == 3:
+                ty = _VEC3F
+            elif arr.ndim == 2 and arr.shape[1] == 2:
+                ty = _VEC2F
+            else:
+                ty = _FLOAT
+        if ty in _SCALAR_DTYPES:
+            flat = arr.reshape(-1).astype(_SCALAR_DTYPES[ty])
+            data = struct.pack('<Q', flat.size) + flat.tobytes()
+        else:
+            dt, k = _VEC_DTYPES[ty]
+            flat = arr.reshape(-1, k).astype(dt)
+            data = struct.pack('<Q', flat.shape[0]) + flat.tobytes()
+        return self._rep(ty, self._emit(data), array=True)
+
+    def scalar_rep(self, usd_type, value):
+        if usd_type == 'bool':
+            return self._rep(_BOOL, 1 if value else 0, inlined=True)
+        if usd_type == 'int':
+            payload = int(np.uint32(np.int32(int(value))))
+            return self._rep(_INT, payload, inlined=True)
+        if usd_type == 'string':
+            return self._rep(_STRING, self.string(str(value)),
+                             inlined=True)
+        if usd_type == 'token':
+            return self.token_rep(str(value))
+        v = float(value)
+        if usd_type == 'float' or v == float(np.float32(v)):
+            ty = _FLOAT if usd_type == 'float' else _DOUBLE
+            payload = int(np.float32(v).view(np.uint32))
+            return self._rep(ty, payload, inlined=True)
+        return self._rep(_DOUBLE, self._emit(struct.pack('<d', v)))
+
+    def value_rep(self, usd_type, value):
+        if usd_type.endswith('[]') or isinstance(value, np.ndarray):
+            return self.array_rep(usd_type, value)
+        return self.scalar_rep(usd_type, value)
+
+    def time_samples_rep(self, usd_type, samples):
+        times = sorted(samples)
+        value_reps = [self.value_rep(usd_type, samples[t]) for t in times]
+        tdata = struct.pack('<Q', len(times)) + np.asarray(
+            times, '<f8').tobytes()
+        times_rep = self._rep(_DOUBLE_VECTOR, self._emit(tdata))
+        n = len(times)
+        data = struct.pack('<QQQQ', 8, times_rep, 8 * (n + 1), n)
+        data += struct.pack(f'<{n}Q', *value_reps) if n else b''
+        return self._rep(_TIME_SAMPLES, self._emit(data))
+
+    # --- sections ---------------------------------------------------------
+    def _compressed_ints_block(self, vals):
+        enc = _encode_ints(vals)
+        return struct.pack('<Q', len(enc)) + enc
+
+    def write_sections(self):
+        sections = []
+
+        def section(name, data):
+            self._align()
+            off = len(self.buf)
+            self.buf += data
+            sections.append((name, off, len(data)))
+
+        blob = b''.join(t.encode('utf-8') + b'\0' for t in self.tokens)
+        comp = _compress(blob)
+        section('TOKENS', struct.pack('<QQQ', len(self.tokens),
+                                      len(blob), len(comp)) + comp)
+
+        section('STRINGS', struct.pack('<Q', len(self.strings))
+                + np.asarray(self.strings, '<u4').tobytes())
+
+        tok_idx = [t for t, _ in self.fields]
+        reps = np.asarray([r for _, r in self.fields], '<u8').tobytes()
+        creps = _compress(reps)
+        section('FIELDS', struct.pack('<Q', len(self.fields))
+                + self._compressed_ints_block(tok_idx)
+                + struct.pack('<Q', len(creps)) + creps)
+
+        section('FIELDSETS', struct.pack('<Q', len(self.fieldset_flat))
+                + self._compressed_ints_block(self.fieldset_flat))
+
+        n = len(self.path_entries)
+        section('PATHS', struct.pack('<QQ', n, n)
+                + self._compressed_ints_block(
+                    [e[0] for e in self.path_entries])
+                + self._compressed_ints_block(
+                    [e[1] for e in self.path_entries])
+                + self._compressed_ints_block(
+                    [e[2] for e in self.path_entries]))
+
+        section('SPECS', struct.pack('<Q', len(self.specs))
+                + self._compressed_ints_block(
+                    [s[0] for s in self.specs])
+                + self._compressed_ints_block(
+                    [s[1] for s in self.specs])
+                + self._compressed_ints_block(
+                    [s[2] for s in self.specs]))
+
+        self._align()
+        toc_off = len(self.buf)
+        self.buf += struct.pack('<Q', len(sections))
+        for name, off, size in sections:
+            self.buf += name.encode().ljust(16, b'\0')
+            self.buf += struct.pack('<QQ', off, size)
+
+        self.buf[0:8] = b'PXR-USDC'
+        self.buf[8:16] = bytes((0, 8, 0)) + b'\0' * 5
+        self.buf[16:24] = struct.pack('<Q', toc_off)
+
+
+def _build_paths(writer, stage):
+    """Preorder path-tree encoding (inverse of ``_Crate._read_paths``):
+    jump = own subtree size when a sibling follows, -1 child-only,
+    0 sibling-only, -2 leaf. Returns {path: path_index} with entry
+    order as the index (root = 0)."""
+    entries = []            # [path_idx, elem_tok_signed, jump]
+    path_index = {}
+
+    def emit(path, tok_signed, children):
+        idx = len(entries)
+        path_index[path] = idx
+        entries.append([idx, tok_signed, -2])
+        size = 1
+        child_sizes = []
+        for cpath, ctok, cchildren in children:
+            child_sizes.append(emit(cpath, ctok, cchildren))
+            size += child_sizes[-1]
+        # fix up jumps now that subtree sizes are known
+        pos = idx + 1
+        for i, csz in enumerate(child_sizes):
+            has_sib = i + 1 < len(child_sizes)
+            has_child = csz > 1
+            if has_child and has_sib:
+                entries[pos][2] = csz
+            elif has_child:
+                entries[pos][2] = -1
+            elif has_sib:
+                entries[pos][2] = 0
+            else:
+                entries[pos][2] = -2
+            pos += csz
+        return size
+
+    def prim_children(prim, path):
+        base = '' if path == '/' else path
+        kids = []
+        for attr in list(prim.attrs) + list(prim.time_attrs):
+            kids.append((f'{base}.{attr}' if base else f'/.{attr}',
+                         -writer.token(attr), []))
+        for name, child in prim.children.items():
+            kids.append((f'{base}/{name}', writer.token(name),
+                         prim_children(child, f'{base}/{name}')))
+        return kids
+
+    root_children = prim_children(stage.root, '/')
+    emit('/', 0, root_children)
+    entries[0][2] = -1 if root_children else -2
+    writer.path_entries = entries
+    return path_index
+
+
+def write_usdc(stage, file_path=None):
+    """Serializes a ``usd.Stage`` to a binary usdc (crate 0.8.0) file.
+
+    Counterpart of :func:`read_usdc`; round-trips everything the Stage
+    model holds (prim tree, typed default attrs, time samples). The
+    reference writes crate through pxr (``kaolin/io/usd.py`` via
+    ``Usd.Stage.Save``); this is the pxr-free equivalent.
+    """
+    w = _CrateWriter()
+    path_index = _build_paths(w, stage)
+
+    # pseudo-root spec
+    root_fields = []
+    if stage.default_prim:
+        root_fields.append(w.field('defaultPrim',
+                                   w.token_rep(stage.default_prim)))
+    root_fields.append(w.field('upAxis', w.token_rep(stage.up_axis)))
+    if stage.root.children:
+        root_fields.append(w.field('primChildren', w.token_vector_rep(
+            list(stage.root.children))))
+    w.specs.append((path_index['/'], w.fieldset(root_fields),
+                    _SPEC_PSEUDO_ROOT))
+
+    def visit(prim, path):
+        base = '' if path == '/' else path
+        fields = [
+            w.field('typeName', w.token_rep(prim.type_name or 'Xform')),
+            w.field('specifier', w._rep(_SPECIFIER, 0, inlined=True)),
+        ]
+        props = list(prim.attrs) + list(prim.time_attrs)
+        if props:
+            fields.append(w.field('properties', w.token_vector_rep(props)))
+        if prim.children:
+            fields.append(w.field('primChildren', w.token_vector_rep(
+                list(prim.children))))
+        w.specs.append((path_index[path], w.fieldset(fields), _SPEC_PRIM))
+        for attr, (usd_type, value) in prim.attrs.items():
+            afields = [
+                w.field('typeName', w.token_rep(usd_type)),
+                w.field('default', w.value_rep(usd_type, value)),
+            ]
+            w.specs.append((path_index[f'{base}.{attr}'],
+                            w.fieldset(afields), _SPEC_ATTRIBUTE))
+        for attr, (usd_type, samples) in prim.time_attrs.items():
+            afields = [
+                w.field('typeName', w.token_rep(usd_type)),
+                w.field('timeSamples',
+                        w.time_samples_rep(usd_type, samples)),
+            ]
+            w.specs.append((path_index[f'{base}.{attr}'],
+                            w.fieldset(afields), _SPEC_ATTRIBUTE))
+        for name, child in prim.children.items():
+            visit(child, f'{base}/{name}')
+
+    for name, child in stage.root.children.items():
+        visit(child, f'/{name}')
+
+    w.write_sections()
+    out = file_path or stage.file_path
+    with open(out, 'wb') as fh:
+        fh.write(bytes(w.buf))
+    return stage
 
 
 def read_usdc(file_path, stage_cls):
