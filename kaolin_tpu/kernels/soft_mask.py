@@ -308,6 +308,23 @@ def _edge_constants(img_s):
     return jnp.stack(cols, axis=-1)
 
 
+def _active_tiles(pixel_mask, height, width):
+    """(B, n_bands, n_ct) bool: does band/column-tile contain any True
+    pixel? Used to clamp chunk ranges to empty for tiles where the soft
+    mask is constant 1 (covered) or carries zero incoming gradient —
+    ``fori_loop`` with start == end costs nothing, so interior tiles of
+    a closed silhouette skip their (often dense) face ranges entirely.
+    Pure XLA prepass: no in-kernel branching on vector predicates."""
+    B = pixel_mask.shape[0]
+    t = pixel_mask.reshape(B, height // TILE_H, TILE_H, width // CT_W,
+                           CT_W)
+    return t.any(axis=(2, 4))
+
+
+def _clamp_ranges(start_all, end_all, active):
+    return jnp.where(active[..., None], end_all, start_all)
+
+
 def _prep(img_scaled, bboxes, height, width, multiplier, row_start,
           total_height):
     """Pads to FACE_CHUNK, column-tile sorts, per-(band, tile) ranges."""
@@ -345,6 +362,10 @@ def soft_mask_forward_pallas(img_scaled, bboxes, selected_face_idx,
     img_s, ec_s, bb_s, _, meta_s, start_all, end_all = _prep(
         img_scaled, bboxes, height, width, multiplier, row_start,
         total_height)
+    # covered pixels output exactly 1: skip fully-covered tiles
+    end_all = _clamp_ranges(
+        start_all, end_all,
+        _active_tiles(selected_face_idx < 0, height, width))
     Fp = img_s.shape[1]
     kernel = functools.partial(
         _sm_fwd_kernel, height=height, width=width,
@@ -395,6 +416,11 @@ def soft_mask_backward_pallas(img_scaled, bboxes, selected_face_idx,
     img_s, ec_s, bb_s, order, meta_s, start_all, end_all = _prep(
         img_scaled, bboxes, height, width, multiplier, row_start,
         total_height)
+    # only uncovered pixels with nonzero incoming grad contribute
+    end_all = _clamp_ranges(
+        start_all, end_all,
+        _active_tiles((selected_face_idx < 0) & (grad_soft_mask != 0.),
+                      height, width))
     Fp = img_s.shape[1]
     kernel = functools.partial(
         _sm_bwd_kernel, height=height, width=width,
