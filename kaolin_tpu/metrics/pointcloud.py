@@ -48,7 +48,21 @@ def _nearest_idx(p1, p2, chunk=1024):
     return idx
 
 
-def sided_distance(p1, p2):
+def _nearest(p1, p2, backend='auto'):
+    # selection is non-differentiable: stop gradients on the *inputs* so
+    # AD never linearizes through the pallas_call
+    p1 = jax.lax.stop_gradient(p1)
+    p2 = jax.lax.stop_gradient(p2)
+    if backend == 'auto':
+        backend = 'pallas' if jax.default_backend() == 'tpu' else 'xla'
+    if backend in ('pallas', 'pallas_interpret'):
+        from ..kernels.nn_distance import nearest_idx_pallas
+        return nearest_idx_pallas(p1, p2,
+                                  interpret=(backend == 'pallas_interpret'))
+    return _nearest_idx(p1, p2)
+
+
+def sided_distance(p1, p2, backend='auto'):
     """Squared distance (and index) from each point of p1 to its closest
     point in p2.
 
@@ -57,13 +71,16 @@ def sided_distance(p1, p2):
     Args:
         p1: (batch_size, num_points1, 3).
         p2: (batch_size, num_points2, 3).
+        backend: 'auto' (Pallas VMEM-tiled kernel on TPU, XLA scan
+            elsewhere), 'pallas', 'pallas_interpret', or 'xla'; all
+            select identical indices (same distance form and tie rule).
 
     Returns:
         (dist (B, N1), idx (B, N1) int32). Differentiable w.r.t. both
         pointclouds (through the fixed nearest assignment, as in the
         reference's analytic backward).
     """
-    idx = jax.lax.stop_gradient(_nearest_idx(p1, p2))
+    idx = jax.lax.stop_gradient(_nearest(p1, p2, backend))
     nearest = jnp.take_along_axis(p2, idx[..., None], axis=1)
     dist = jnp.sum((p1 - nearest) ** 2, axis=-1)
     return dist, idx

@@ -33,6 +33,34 @@ def test_sided_distance_bruteforce(clouds):
     np.testing.assert_array_equal(np.asarray(idx), d.argmin(-1))
 
 
+@pytest.mark.parametrize('n1,n2', [(100, 77), (513, 1025), (2048, 300)])
+def test_nearest_idx_pallas_matches_xla(n1, n2):
+    """Pallas VMEM-tiled NN kernel (interpret mode) selects bit-identical
+    indices to the XLA scan (same distance form, same tie rule)."""
+    from kaolin_tpu.metrics.pointcloud import _nearest_idx
+    from kaolin_tpu.kernels.nn_distance import nearest_idx_pallas
+    rng = np.random.default_rng(3)
+    p1 = jnp.asarray(rng.random((2, n1, 3)), jnp.float32)
+    p2 = jnp.asarray(rng.random((2, n2, 3)), jnp.float32)
+    a = np.asarray(_nearest_idx(p1, p2))
+    b = np.asarray(nearest_idx_pallas(p1, p2, interpret=True))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_nearest_idx_pallas_duplicate_ties():
+    """Duplicated points: ties must keep the lowest index."""
+    from kaolin_tpu.metrics.pointcloud import _nearest_idx
+    from kaolin_tpu.kernels.nn_distance import nearest_idx_pallas
+    rng = np.random.default_rng(4)
+    base = rng.random((1, 40, 3)).astype(np.float32)
+    p2 = jnp.asarray(np.concatenate([base, base[:, ::-1], base], axis=1))
+    p1 = jnp.asarray(base + 1e-3 * rng.standard_normal(base.shape)
+                     .astype(np.float32))
+    a = np.asarray(_nearest_idx(p1, p2))
+    b = np.asarray(nearest_idx_pallas(p1, p2, interpret=True))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_sided_distance_reference_example():
     # kaolin/metrics/pointcloud.py:72-84
     p1 = jnp.asarray([[[5.9336, 4.9742, 8.1047]],
