@@ -114,7 +114,7 @@ def _select_faces(points, face_vertices, chunk=256):
     return idx, types
 
 
-def point_to_mesh_distance(pointclouds, face_vertices):
+def point_to_mesh_distance(pointclouds, face_vertices, backend='auto'):
     """Squared distance from each point to the nearest triangle of a mesh.
 
     Reference: ``kaolin/metrics/trianglemesh.py:20``.
@@ -122,14 +122,27 @@ def point_to_mesh_distance(pointclouds, face_vertices):
     Args:
         pointclouds: (batch_size, num_points, 3).
         face_vertices: (batch_size, num_faces, 3, 3).
+        backend: 'auto' (Pallas VMEM-tiled kernel on TPU, XLA scan
+            elsewhere), 'pallas', 'pallas_interpret', or 'xla'; the
+            kernel selects the same winner faces/types (same flags,
+            summed type code and tie rule; tested on exact-tie grids).
 
     Returns:
         (distance (B, N), face_idx (B, N) int32, dist_type (B, N) int32):
-        type 0 = face interior, 1-3 = vertex, 4-6 = edge. Distance is
+        type 0 = face interior, 1-3 = vertex, 4-6 = edge (flag overlaps
+        keep the reference's summed codes, e.g. 10). Distance is
         differentiable w.r.t. both inputs through the fixed assignment.
     """
-    idx, types = _select_faces(jax.lax.stop_gradient(pointclouds),
-                               jax.lax.stop_gradient(face_vertices))
+    pts_ng = jax.lax.stop_gradient(pointclouds)
+    fv_ng = jax.lax.stop_gradient(face_vertices)
+    if backend == 'auto':
+        backend = 'pallas' if jax.default_backend() == 'tpu' else 'xla'
+    if backend in ('pallas', 'pallas_interpret'):
+        from ..kernels.p2m_distance import p2m_select_pallas
+        idx, types = p2m_select_pallas(
+            pts_ng, fv_ng, interpret=(backend == 'pallas_interpret'))
+    else:
+        idx, types = _select_faces(pts_ng, fv_ng)
     # differentiable recompute on the winning faces only (O(num_points))
     sel = jnp.take_along_axis(face_vertices, idx[..., None, None], axis=1)
     v1, v2, v3 = sel[..., 0, :], sel[..., 1, :], sel[..., 2, :]

@@ -61,6 +61,54 @@ def test_nearest_idx_pallas_duplicate_ties():
     np.testing.assert_array_equal(a, b)
 
 
+def _grid_mesh():
+    g = np.mgrid[0:5, 0:5].reshape(2, -1).T.astype(np.float32)
+    verts = np.concatenate([g, np.zeros((25, 1), np.float32)], 1)
+    quads = np.array([[i * 5 + j, i * 5 + j + 1, (i + 1) * 5 + j,
+                       (i + 1) * 5 + j + 1]
+                      for i in range(4) for j in range(4)])
+    faces = np.concatenate([quads[:, [0, 1, 2]], quads[:, [1, 3, 2]]])
+    return verts, verts[faces]
+
+
+def test_p2m_pallas_matches_xla_random():
+    """Pallas point-to-mesh selection (interpret) vs the XLA scan."""
+    from kaolin_tpu.metrics.trianglemesh import _select_faces
+    from kaolin_tpu.kernels.p2m_distance import p2m_select_pallas
+    rng = np.random.default_rng(5)
+    p = jnp.asarray(rng.random((2, 333, 3)), jnp.float32)
+    f = jnp.asarray(rng.random((2, 207, 3, 3)), jnp.float32)
+    a_i, a_t = _select_faces(p, f)
+    b_i, b_t = p2m_select_pallas(p, f, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a_i), np.asarray(b_i))
+    np.testing.assert_array_equal(np.asarray(a_t), np.asarray(b_t))
+
+
+def test_p2m_pallas_exact_ties_and_overlapping_flags():
+    """Points exactly above shared vertices/edges of a grid mesh: the
+    summed type codes overlap (e.g. 4 + 6 = 10) and distances tie
+    exactly across adjacent faces; the kernel must reproduce the XLA
+    path's lowest-index tie rule and summed codes bit-for-bit."""
+    from kaolin_tpu.metrics.trianglemesh import _select_faces
+    from kaolin_tpu.kernels.p2m_distance import p2m_select_pallas
+    rng = np.random.default_rng(6)
+    verts, fv_np = _grid_mesh()
+    fv = jnp.asarray(fv_np)[None]
+    p_mid = verts[:-1] * 0.5 + verts[1:] * 0.5 + [0, 0, 2]
+    pts = jnp.asarray(np.concatenate([verts + [0, 0, 1], p_mid])[None])
+    a_i, a_t = _select_faces(pts, fv)
+    b_i, b_t = p2m_select_pallas(pts, fv, interpret=True)
+    assert int(np.asarray(a_t).max()) > 6      # overlap codes exercised
+    np.testing.assert_array_equal(np.asarray(a_i), np.asarray(b_i))
+    np.testing.assert_array_equal(np.asarray(a_t), np.asarray(b_t))
+    # random probes against the same mesh
+    p = jnp.asarray(rng.random((1, 400, 3)).astype(np.float32) * 6 - 1)
+    a_i, a_t = _select_faces(p, fv)
+    b_i, b_t = p2m_select_pallas(p, fv, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a_i), np.asarray(b_i))
+    np.testing.assert_array_equal(np.asarray(a_t), np.asarray(b_t))
+
+
 def test_sided_distance_reference_example():
     # kaolin/metrics/pointcloud.py:72-84
     p1 = jnp.asarray([[[5.9336, 4.9742, 8.1047]],
