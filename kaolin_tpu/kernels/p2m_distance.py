@@ -3,18 +3,23 @@
 TPU-native replacement for the HBM-bound XLA scan in
 ``metrics/trianglemesh._select_faces`` (reference CUDA kernel
 ``kaolin/csrc/metrics/unbatched_triangle_distance_cuda.cu:238-479``).
-All per-face geometry (edges, reciprocal edge norms, edge-plane
-normals, vertex norms, unit face normal) is packed by an XLA prepass
-into a (B, 48, F) constant table that lives in VMEM for the whole
-pass; the kernel streams (T1, T2) point x face tiles through registers
-carrying only a (T1, 1) running (distance, face*32+type) minimum.
+Per-face geometry (vertices, edges, reciprocal edge norms, edge-plane
+normals, unit face normal) is packed by an XLA prepass into a
+(B, 40, F) constant table that lives in VMEM for the whole pass; the
+kernel streams (T1, T2) point x face tiles through registers carrying
+only a (T1, 1) running (distance, face*32+type) minimum.
 
-Classification replicates ``_classify_and_distance`` exactly: the same
-six region flags, the same *sum* of flags as the type code (so flag
-overlaps produce the same summed code), and distances selected by code
-equality — indices and types are bit-identical to the XLA path, and
-the differentiable recompute downstream is unchanged. Ties keep the
-lowest face index (strict ``<`` across chunks, lowest lane within one).
+Classification replicates ``_classify_and_distance``: the same six
+region flags, the same *sum* of flags as the type code (so flag
+overlaps produce the same summed code). All distances are computed in
+GEOMETRIC form from per-pair deltas ``p - v`` (vertex ``|p-v|^2``,
+edge ``|e*u - (p-v)|^2``, face ``(n.(p-v))^2``) — the algebraically
+expanded ``|p|^2 - 2 p.v + |v|^2`` form loses ~1e-7 absolute to
+cancellation, enough to misrank faces whose true distances are close
+(observed 2%-relative winner errors at 4k x 2k random pairs). With the
+geometric form, winners can differ from the XLA path only on genuine
+float ties between equally-near features. Ties keep the lowest face
+index (strict ``<`` across chunks, lowest lane within one).
 """
 
 import functools
@@ -33,20 +38,15 @@ _BIG = 2 ** 30
 # constant-table row indices
 _E21, _E32, _E13 = 0, 3, 6
 _INV21, _INV32, _INV13 = 9, 10, 11
-_C21, _C32, _C13 = 12, 13, 14
-_EN1, _CEN1 = 15, 18
-_EN2, _CEN2 = 19, 22
-_EN3, _CEN3 = 23, 26
-_V1, _V1SQ = 27, 30
-_V2, _V2SQ = 31, 34
-_V3, _V3SQ = 35, 38
-_UN, _CN = 39, 42
-_VALID = 43
-_ROWS = 48
+_EN1, _EN2, _EN3 = 12, 15, 18
+_V1, _V2, _V3 = 21, 24, 27
+_UN = 30
+_VALID = 33
+_ROWS = 40
 
 
 def face_constants(face_vertices):
-    """(B, F, 3, 3) -> (B, 48, F) packed per-face constants."""
+    """(B, F, 3, 3) -> (B, 40, F) packed per-face constants."""
     v1 = face_vertices[..., 0, :]
     v2 = face_vertices[..., 1, :]
     v3 = face_vertices[..., 2, :]
@@ -67,14 +67,13 @@ def face_constants(face_vertices):
         e32[..., 0], e32[..., 1], e32[..., 2],
         e13[..., 0], e13[..., 1], e13[..., 2],
         1. / dot(e21, e21), 1. / dot(e32, e32), 1. / dot(e13, e13),
-        dot(v1, e21), dot(v2, e32), dot(v3, e13),
-        en1[..., 0], en1[..., 1], en1[..., 2], dot(en1, v1),
-        en2[..., 0], en2[..., 1], en2[..., 2], dot(en2, v2),
-        en3[..., 0], en3[..., 1], en3[..., 2], dot(en3, v3),
-        v1[..., 0], v1[..., 1], v1[..., 2], dot(v1, v1),
-        v2[..., 0], v2[..., 1], v2[..., 2], dot(v2, v2),
-        v3[..., 0], v3[..., 1], v3[..., 2], dot(v3, v3),
-        unit_n[..., 0], unit_n[..., 1], unit_n[..., 2], dot(unit_n, v1),
+        en1[..., 0], en1[..., 1], en1[..., 2],
+        en2[..., 0], en2[..., 1], en2[..., 2],
+        en3[..., 0], en3[..., 1], en3[..., 2],
+        v1[..., 0], v1[..., 1], v1[..., 2],
+        v2[..., 0], v2[..., 1], v2[..., 2],
+        v3[..., 0], v3[..., 1], v3[..., 2],
+        unit_n[..., 0], unit_n[..., 1], unit_n[..., 2],
         jnp.ones_like(v1[..., 0]),
     ]
     rows += [jnp.zeros_like(rows[0])] * (_ROWS - len(rows))
@@ -85,7 +84,6 @@ def _p2m_kernel(p_ref, tbl_ref, out_ref, *, n2_chunks):
     px = p_ref[0, :, 0:1]
     py = p_ref[0, :, 1:2]
     pz = p_ref[0, :, 2:3]
-    psq = px * px + py * py + pz * pz
     # region flags can overlap and the type code is their SUM
     # (e.g. 4 + 6 = 10 for a point above a shared vertex), so the
     # packed code reserves 5 bits for the type
@@ -94,23 +92,31 @@ def _p2m_kernel(p_ref, tbl_ref, out_ref, *, n2_chunks):
     def row(k, c):
         return tbl_ref[0, k:k + 1, pl.ds(c * T2, T2)]
 
-    def pdot(k, c):
-        return px * row(k, c) + py * row(k + 1, c) + pz * row(k + 2, c)
-
     def chunk(c, carry):
         best_d, best_c = carry
-        uab_n = pdot(_E21, c) - row(_C21, c)
-        ubc_n = pdot(_E32, c) - row(_C32, c)
-        uca_n = pdot(_E13, c) - row(_C13, c)
-        inv21 = row(_INV21, c)
-        inv32 = row(_INV32, c)
-        inv13 = row(_INV13, c)
-        uab = uab_n * inv21
-        ubc = ubc_n * inv32
-        uca = uca_n * inv13
-        below1 = (pdot(_EN1, c) - row(_CEN1, c)) <= 0.
-        below2 = (pdot(_EN2, c) - row(_CEN2, c)) <= 0.
-        below3 = (pdot(_EN3, c) - row(_CEN3, c)) <= 0.
+
+        def delta(k):       # p - v for vertex row base k
+            return (px - row(k, c), py - row(k + 1, c), pz - row(k + 2, c))
+
+        def dot3(a, k):     # a . table-vector at row base k
+            return (a[0] * row(k, c) + a[1] * row(k + 1, c)
+                    + a[2] * row(k + 2, c))
+
+        def norm2(a):
+            return a[0] * a[0] + a[1] * a[1] + a[2] * a[2]
+
+        d1 = delta(_V1)
+        d2 = delta(_V2)
+        d3 = delta(_V3)
+        uab_n = dot3(d1, _E21)
+        ubc_n = dot3(d2, _E32)
+        uca_n = dot3(d3, _E13)
+        uab = uab_n * row(_INV21, c)
+        ubc = ubc_n * row(_INV32, c)
+        uca = uca_n * row(_INV13, c)
+        below1 = dot3(d1, _EN1) <= 0.
+        below2 = dot3(d2, _EN2) <= 0.
+        below3 = dot3(d3, _EN3) <= 0.
         is1 = (uca > 1.) & (uab < 0.)
         is2 = (uab > 1.) & (ubc < 0.)
         is3 = (ubc > 1.) & (uca < 0.)
@@ -119,13 +125,18 @@ def _p2m_kernel(p_ref, tbl_ref, out_ref, *, n2_chunks):
         is6 = (uca >= 0.) & (uca <= 1.) & below3
         t = (is1 * 1 + is2 * 2 + is3 * 3 + is4 * 4 + is5 * 5
              + is6 * 6).astype(jnp.int32)
-        dv1 = psq - 2. * pdot(_V1, c) + row(_V1SQ, c)
-        dv2 = psq - 2. * pdot(_V2, c) + row(_V2SQ, c)
-        dv3 = psq - 2. * pdot(_V3, c) + row(_V3SQ, c)
-        de1 = dv1 - uab_n * uab_n * inv21
-        de2 = dv2 - ubc_n * ubc_n * inv32
-        de3 = dv3 - uca_n * uca_n * inv13
-        dfn = pdot(_UN, c) - row(_CN, c)
+        dv1 = norm2(d1)
+        dv2 = norm2(d2)
+        dv3 = norm2(d3)
+
+        def edge_d(dx, u, k):   # |e*u - (p-v)|^2
+            return norm2((row(k, c) * u - dx[0], row(k + 1, c) * u - dx[1],
+                          row(k + 2, c) * u - dx[2]))
+
+        de1 = edge_d(d1, uab, _E21)
+        de2 = edge_d(d2, ubc, _E32)
+        de3 = edge_d(d3, uca, _E13)
+        dfn = dot3(d1, _UN)
         dfc = dfn * dfn
         d = jnp.where(t == 1, dv1,
             jnp.where(t == 2, dv2,
@@ -153,8 +164,9 @@ def p2m_select_pallas(points, face_vertices, interpret=False):
     """Winner face + distance-type selection per point.
 
     ``points`` (B, N, 3), ``face_vertices`` (B, F, 3, 3). Returns
-    (face_idx (B, N) int32, dist_type (B, N) int32), identical to the
-    XLA ``_select_faces`` scan.
+    (face_idx (B, N) int32, dist_type (B, N) int32), matching the XLA
+    ``_select_faces`` scan (up to float ties between equally-near
+    faces).
     """
     B, N, _ = points.shape
     F = face_vertices.shape[1]

@@ -136,7 +136,10 @@ def point_to_mesh_distance(pointclouds, face_vertices, backend='auto'):
     pts_ng = jax.lax.stop_gradient(pointclouds)
     fv_ng = jax.lax.stop_gradient(face_vertices)
     if backend == 'auto':
-        backend = 'pallas' if jax.default_backend() == 'tpu' else 'xla'
+        # the kernel keeps a (40, F) f32 constant table resident in
+        # VMEM (~160*F bytes); past ~64k faces fall back to the scan
+        backend = ('pallas' if jax.default_backend() == 'tpu'
+                   and face_vertices.shape[1] <= 65536 else 'xla')
     if backend in ('pallas', 'pallas_interpret'):
         from ..kernels.p2m_distance import p2m_select_pallas
         idx, types = p2m_select_pallas(
