@@ -41,7 +41,8 @@ def _nearest_idx(p1, p2, chunk=1024):
         return (jnp.where(take, dmin, best_d),
                 jnp.where(take, imin, best_i)), None
 
-    init = (jnp.full((B, N1), jnp.inf, p1.dtype),
+    init = (jnp.full((B, N1), jnp.inf,
+                     jnp.promote_types(p1.dtype, p2.dtype)),
             jnp.zeros((B, N1), jnp.int32))
     bases = jnp.arange(num_chunks, dtype=jnp.int32) * chunk
     (_, idx), _ = jax.lax.scan(body, init, (p2c, bases))

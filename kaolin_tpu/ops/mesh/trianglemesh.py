@@ -86,6 +86,23 @@ def _sample_barycentric(key, shape, dtype):
     return w0, w1, w2
 
 
+def _weighted_face_choices(key, areas, num_samples):
+    """Area-weighted face sampling by inverse-CDF (cumsum + searchsorted).
+
+    O(F + S log F) per mesh, replacing the Gumbel ``categorical`` trick
+    whose (S, F) noise matrix dominates runtime for large meshes.
+    Zero-area faces are never selected (``side='right'`` skips repeated
+    cdf values).
+    """
+    areas = jax.lax.stop_gradient(areas)          # selection is non-diff
+    cdf = jnp.cumsum(jnp.maximum(areas, 0.), axis=-1)       # (B, F)
+    u = jax.random.uniform(key, (areas.shape[0], num_samples),
+                           dtype=cdf.dtype) * cdf[:, -1:]
+    pick = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side='right'))(
+        cdf, u)
+    return jnp.clip(pick, 0, areas.shape[-1] - 1).astype(jnp.int32)
+
+
 def sample_points(vertices, faces, num_samples, areas=None, face_features=None,
                   key=None):
     """Uniformly samples points on the surface of batched triangle meshes.
@@ -113,10 +130,7 @@ def sample_points(vertices, faces, num_samples, areas=None, face_features=None,
     if areas is None:
         areas = _base_face_areas(v0, v1, v2)[..., 0]
     k_face, k_bary = jax.random.split(key)
-    logits = jnp.log(jnp.maximum(areas, 1e-30))
-    face_choices = jax.random.categorical(
-        k_face, logits[:, None, :], axis=-1,
-        shape=(batch_size, num_samples)).astype(jnp.int32)
+    face_choices = _weighted_face_choices(k_face, areas, num_samples)
     sv0 = jnp.take_along_axis(v0, face_choices[..., None], axis=1)
     sv1 = jnp.take_along_axis(v1, face_choices[..., None], axis=1)
     sv2 = jnp.take_along_axis(v2, face_choices[..., None], axis=1)
@@ -168,11 +182,7 @@ def packed_sample_points(vertices, first_idx_vertices, faces,
     padded_areas = jnp.where(jnp.asarray(valid),
                              jnp.take(areas, jnp.asarray(idx)), 0.)
     k_face, k_bary = jax.random.split(key)
-    logits = jnp.where(padded_areas > 0, jnp.log(jnp.maximum(padded_areas, 1e-30)),
-                       -jnp.inf)
-    face_choices = jax.random.categorical(
-        k_face, logits[:, None, :], axis=-1,
-        shape=(batch_size, num_samples)).astype(jnp.int32)
+    face_choices = _weighted_face_choices(k_face, padded_areas, num_samples)
     merged_face_choices = (face_choices
                            + jnp.asarray(first_idx_faces[:-1])[:, None]).reshape(-1)
     sv0 = jnp.take(v0, merged_face_choices, axis=0).reshape(batch_size, num_samples, 3)
