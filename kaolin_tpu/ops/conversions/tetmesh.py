@@ -17,7 +17,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ['marching_tetrahedra', 'marching_tetrahedra_fixed']
+__all__ = ['marching_tetrahedra', 'marching_tetrahedra_fixed', 'tet_grid']
 
 # kaolin/ops/conversions/tetmesh.py:20-40
 TRIANGLE_TABLE = np.array([
@@ -172,3 +172,35 @@ def marching_tetrahedra_fixed(vertices, tets, sdf):
     tet_idx = jnp.repeat(jnp.arange(T, dtype=jnp.int32)[:, None], 2,
                          axis=1).reshape(-1)
     return verts, crossing, faces, faces_mask, tet_idx
+
+
+def tet_grid(res, normalize=True):
+    """Regular tetrahedral grid: (res+1)^3 lattice vertices, 6 tets per
+    cell — the DMTet working grid (the reference tutorial loads
+    precomputed ``{res}_verts.npz`` / ``{res}_tets_*.npz``,
+    ``examples/tutorial/dmtet_tutorial.ipynb``).
+
+    Args:
+        res: cells per axis.
+        normalize: scale vertices into [-0.5, 0.5]^3 (else integer
+            lattice coordinates).
+
+    Returns:
+        (vertices (N, 3) float32 numpy, tets (6*res^3, 4) int64 numpy) —
+        host-side static topology for :func:`marching_tetrahedra_fixed`.
+    """
+    from .voxelgrid import _CUBE_TETS
+    n = res + 1
+    ii, jj, kk = np.meshgrid(np.arange(n), np.arange(n), np.arange(n),
+                             indexing='ij')
+    verts = np.stack([ii, jj, kk], -1).reshape(-1, 3).astype(np.float32)
+    if normalize:
+        verts = verts / res - 0.5
+    ci, cj, ck = np.meshgrid(np.arange(res), np.arange(res),
+                             np.arange(res), indexing='ij')
+    ci, cj, ck = ci.ravel(), cj.ravel(), ck.ravel()
+    corner_ids = np.stack([
+        ((ci + (c >> 2 & 1)) * n + (cj + (c >> 1 & 1))) * n + (ck + (c & 1))
+        for c in range(8)], -1)                        # (res^3, 8)
+    tets = corner_ids[:, _CUBE_TETS].reshape(-1, 4).astype(np.int64)
+    return verts, tets
