@@ -191,7 +191,9 @@ def bench_raytrace(iters):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument('--iters', type=int, default=10)
+    # 10 iters under-amortizes the tunnel's fixed dispatch+fetch cost
+    # (config 1 reads 6.4 ms/step at 10 iters vs 2.2 ms at 32)
+    p.add_argument('--iters', type=int, default=32)
     p.add_argument('--only', type=str, default=None,
                    help='comma-separated subset: opt,textured,pcl,'
                         'deftet,raytrace')

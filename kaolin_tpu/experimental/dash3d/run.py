@@ -112,3 +112,12 @@ def run_main():
 
 if __name__ == '__main__':
     run_main()
+
+
+def get_max_viewports(urlargs):
+    """Clamped ``maxviews`` URL argument (reference
+    ``dash3d/run.py:32``): default 3, bounded to [1, 8]."""
+    try:
+        return max(1, min(8, int(urlargs.get('maxviews', 3))))
+    except (TypeError, ValueError):
+        return 3

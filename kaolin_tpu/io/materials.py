@@ -15,6 +15,9 @@ __all__ = [
     'MaterialLoadError',
     'MaterialFileError',
     'MaterialNotFoundError',
+    'MaterialNotSupportedError',
+    'MaterialWriteError',
+    'MaterialManager',
     'Material',
     'PBRMaterial',
 ]
@@ -131,3 +134,33 @@ class PBRMaterial(Material):
                    if getattr(self, f) is not None]
         return (f"PBRMaterial(name={self.material_name!r}, "
                 f"diffuse_color={self.diffuse_color}, textures={set_tex})")
+
+
+class MaterialNotSupportedError(MaterialError):
+    pass
+
+
+class MaterialWriteError(MaterialError):
+    pass
+
+
+class MaterialManager:
+    """Registry mapping USD shader ids to reader functions
+    (reference ``kaolin/io/materials.py:90``). Import paths consult it
+    to decide how to decode a bound shader; new shaders register a
+    ``reader_fn(params: dict, texture_path: str, time) -> Material``.
+    """
+    _usd_readers = {}
+    _obj_reader = None
+
+    @classmethod
+    def register_usd_reader(cls, shader_name, reader_fn):
+        if shader_name in cls._usd_readers:
+            import warnings
+            warnings.warn(f'Shader {shader_name} is already registered; '
+                          'overwriting the existing reader.')
+        cls._usd_readers[shader_name] = reader_fn
+
+    @classmethod
+    def get_usd_reader(cls, shader_name):
+        return cls._usd_readers.get(shader_name)

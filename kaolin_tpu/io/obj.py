@@ -18,6 +18,7 @@ from .materials import (MaterialLoadError, MaterialFileError,
                         MaterialNotFoundError)
 
 __all__ = [
+    'flatten_feature',
     'ignore_error_handler',
     'skip_error_handler',
     'default_error_handler',
@@ -220,3 +221,11 @@ def load_mtl(mtl_path, error_handler):
                 data=data, mtl_data=mtl_data)
     f.close()
     return mtl_data
+
+
+def flatten_feature(feature):
+    """Flattens a nested list of features (reference
+    ``kaolin/io/obj.py:52``; used by heterogeneous-mesh handlers)."""
+    if feature is None or len(feature) == 0:
+        return None
+    return [item for sublist in feature for item in sublist]

@@ -27,12 +27,20 @@ __all__ = [
     'import_meshes',
     'add_pointcloud',
     'export_pointcloud',
+    'export_pointclouds',
     'import_pointcloud',
+    'import_pointclouds',
     'add_voxelgrid',
     'export_voxelgrid',
+    'export_voxelgrids',
     'import_voxelgrid',
+    'import_voxelgrids',
     'add_material',
     'import_material',
+    'get_root',
+    'get_authored_time_samples',
+    'get_pointcloud_scene_paths',
+    'get_pointcloud_bracketing_time_samples',
 ]
 
 mesh_return_type = namedtuple('mesh_return_type', ['vertices', 'faces'])
@@ -471,6 +479,39 @@ def import_pointcloud(file_path_or_stage, scene_path=None, time=None):
                                                             np.float32)))
 
 
+def import_pointclouds(file_path_or_stage, scene_paths=None, times=None):
+    """Imports one or more pointclouds (reference ``io/usd.py:866``).
+
+    Returns:
+        list of namedtuple (points, colors, normals).
+    """
+    stage = _open(file_path_or_stage)
+    if scene_paths is None:
+        scene_paths = get_pointcloud_scene_paths(stage)
+    if times is None:
+        times = [None] * len(scene_paths)
+    return [import_pointcloud(stage, sp, t)
+            for sp, t in zip(scene_paths, times)]
+
+
+def export_pointclouds(file_path, pointclouds, scene_paths=None,
+                       colors=None, times=None):
+    """Exports multiple pointclouds to one stage
+    (reference ``io/usd.py:1069``)."""
+    if scene_paths is None:
+        scene_paths = [f'/World/PointClouds/pointcloud_{i}'
+                       for i in range(len(pointclouds))]
+    if times is None:
+        times = [None] * len(scene_paths)
+    if colors is None:
+        colors = [None] * len(scene_paths)
+    stage = _open(file_path)
+    for pc, sp, c, t in zip(pointclouds, scene_paths, colors, times):
+        add_pointcloud(stage, sp, pc, colors=c, time=t)
+    stage.save()
+    return stage
+
+
 # --------------------------------------------------------------------------
 # voxelgrids
 # --------------------------------------------------------------------------
@@ -525,6 +566,84 @@ def import_voxelgrid(file_path_or_stage, scene_path=None, time=None):
     if len(idx):
         grid[idx[:, 0], idx[:, 1], idx[:, 2]] = True
     return jnp.asarray(grid)
+
+
+def import_voxelgrids(file_path_or_stage, scene_paths=None, times=None):
+    """Imports one or more voxelgrids (reference ``io/usd.py:1143``)."""
+    stage = _open(file_path_or_stage)
+    if scene_paths is None:
+        scene_paths = [p for p in get_scene_paths(
+            stage, prim_types='PointInstancer') if _is_voxelgrid(stage, p)]
+    if times is None:
+        times = [None] * len(scene_paths)
+    return [import_voxelgrid(stage, sp, t)
+            for sp, t in zip(scene_paths, times)]
+
+
+def export_voxelgrids(file_path, voxelgrids, scene_paths=None, times=None):
+    """Exports multiple voxelgrids to one stage
+    (reference ``io/usd.py:1305``)."""
+    if scene_paths is None:
+        scene_paths = [f'/World/VoxelGrids/voxelgrid_{i}'
+                       for i in range(len(voxelgrids))]
+    if times is None:
+        times = [None] * len(scene_paths)
+    stage = _open(file_path)
+    for vg, sp, t in zip(voxelgrids, scene_paths, times):
+        add_voxelgrid(stage, sp, vg, time=t)
+    stage.save()
+    return stage
+
+
+# --------------------------------------------------------------------------
+# stage-level helpers
+# --------------------------------------------------------------------------
+
+def _is_voxelgrid(stage, scene_path):
+    prim = stage.get_prim(scene_path)
+    return (prim is not None and
+            prim.attrs.get('primvars:kaolin_type', (None, None))[1]
+            == 'VoxelGrid')
+
+
+def get_root(file_path_or_stage):
+    """Root prim scene path (reference ``io/usd.py:264``)."""
+    _open(file_path_or_stage)           # validate the file parses
+    return '/'
+
+
+def get_pointcloud_scene_paths(file_path_or_stage):
+    """All pointcloud scene paths: ``Points`` prims plus
+    ``PointInstancer`` prims that are not kaolin voxelgrids
+    (reference ``io/usd.py:290``)."""
+    stage = _open(file_path_or_stage)
+    points = get_scene_paths(stage, prim_types='Points')
+    instancers = [p for p in get_scene_paths(
+        stage, prim_types='PointInstancer') if not _is_voxelgrid(stage, p)]
+    return points + instancers
+
+
+def get_authored_time_samples(file_path_or_stage):
+    """All authored time samples across every prim, sorted
+    (reference ``io/usd.py:347``)."""
+    stage = _open(file_path_or_stage)
+    times = set()
+    for _, prim in stage.walk():
+        for _, (_, samples) in prim.time_attrs.items():
+            times.update(samples)
+    return sorted(times)
+
+
+def get_pointcloud_bracketing_time_samples(stage, scene_path, target_time):
+    """Two authored times bracketing ``target_time`` for the prim's
+    points attribute (reference ``io/usd.py:932``)."""
+    prim = _open(stage).get_prim(scene_path)
+    samples = sorted(prim.time_attrs.get('points', (None, {}))[1])
+    if not samples:
+        return (target_time, target_time)
+    lo = max((t for t in samples if t <= target_time), default=samples[0])
+    hi = min((t for t in samples if t >= target_time), default=samples[-1])
+    return (lo, hi)
 
 
 # --------------------------------------------------------------------------

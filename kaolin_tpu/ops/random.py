@@ -12,6 +12,8 @@ import jax.numpy as jnp
 __all__ = [
     'manual_seed',
     'get_key',
+    'get_state',
+    'set_state',
     'random_shape_per_tensor',
     'random_tensor',
     'sample_spherical_coords',
@@ -100,3 +102,19 @@ def random_spc_octrees(batch_size, max_level, key=None):
         out_bytes.append(octree)
         lengths.append(octree.shape[0])
     return jnp.asarray(np.concatenate(out_bytes)), np.asarray(lengths, dtype=np.int64)
+
+
+def get_state():
+    """Returns the module-level generator states
+    (reference ``kaolin/ops/random.py:58``; here a (jax_key,
+    numpy_bit_generator_state) pair instead of torch/random/numpy
+    triples)."""
+    return (_GLOBAL_KEY[0], _NP_RNG[0].bit_generator.state)
+
+
+def set_state(state):
+    """Restores states captured by :func:`get_state`
+    (reference ``kaolin/ops/random.py:39``)."""
+    key, np_state = state
+    _GLOBAL_KEY[0] = key
+    _NP_RNG[0].bit_generator.state = np_state

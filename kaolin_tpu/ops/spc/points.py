@@ -20,6 +20,7 @@ __all__ = [
     'points_to_corners',
     'unbatched_interpolate_trilinear',
     'coords_to_trilinear_coeffs',
+    'coords_to_trilinear',
     'create_dense_spc',
 ]
 
@@ -195,3 +196,14 @@ def create_dense_spc(level):
     length = sum(8 ** l for l in range(level))
     octree = jnp.full((length,), 255, dtype=jnp.uint8)
     return octree, np.array([length], dtype=np.int32)
+
+
+def coords_to_trilinear(coords, points, level=None):
+    """Deprecated alias of :func:`coords_to_trilinear_coeffs`
+    (reference ``kaolin/ops/spc/points.py:309`` keeps it for
+    backward compatibility)."""
+    import warnings
+    warnings.warn('coords_to_trilinear is deprecated, '
+                  'use coords_to_trilinear_coeffs instead',
+                  DeprecationWarning)
+    return coords_to_trilinear_coeffs(coords, points, level)

@@ -22,9 +22,32 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ['CameraExtrinsics']
+__all__ = ['CameraExtrinsics', 'register_backend']
 
 _BACKENDS = ('matrix_se3', 'matrix_6dof_rotation')
+_BACKEND_REGISTRY = {}
+
+
+def register_backend(name, params_from_mat=None, mat_from_params=None):
+    """Registers a custom extrinsics parameter representation
+    (reference ``extrinsics_backends.py:44``).
+
+    Either pass the two conversion functions directly —
+    ``params_from_mat(mat (C,4,4)) -> (C,P)`` and
+    ``mat_from_params(params (C,P)) -> (C,4,4)`` (both jittable and
+    differentiable) — or use as a class decorator over a class exposing
+    them as staticmethods (the reference's ``ExtrinsicsRep`` subclass
+    pattern).
+    """
+    if params_from_mat is not None:
+        _BACKEND_REGISTRY[name] = (params_from_mat, mat_from_params)
+        return None
+
+    def deco(cls):
+        _BACKEND_REGISTRY[name] = (cls.params_from_mat,
+                                   cls.mat_from_params)
+        return cls
+    return deco
 
 
 def _normalize(v, axis=-1):
@@ -33,6 +56,8 @@ def _normalize(v, axis=-1):
 
 
 def _params_from_mat(mat, backend):
+    if backend in _BACKEND_REGISTRY:
+        return _BACKEND_REGISTRY[backend][0](mat)
     if backend == 'matrix_se3':
         return mat.reshape(-1, 16)
     # 6 DoF: first two ROWS of R (already orthonormal) + translation
@@ -42,6 +67,8 @@ def _params_from_mat(mat, backend):
 
 
 def _mat_from_params(params, backend):
+    if backend in _BACKEND_REGISTRY:
+        return _BACKEND_REGISTRY[backend][1](params)
     if backend == 'matrix_se3':
         return params.reshape(-1, 4, 4)
     # Gram-Schmidt (extrinsics_backends.py:205-264)
@@ -70,7 +97,7 @@ class CameraExtrinsics:
 
     def __init__(self, params, backend='matrix_se3',
                  base_change_matrix=None):
-        assert backend in _BACKENDS, backend
+        assert backend in _BACKENDS or backend in _BACKEND_REGISTRY, backend
         self.params = params
         self.backend = backend
         self._base_change_matrix = base_change_matrix

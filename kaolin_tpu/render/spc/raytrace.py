@@ -42,6 +42,7 @@ __all__ = [
     'unbatched_raytrace',
     'unbatched_raytrace_fixed',
     'mark_pack_boundaries',
+    'mark_first_hit',
     'diff',
     'sum_reduce',
     'cumsum',
@@ -505,3 +506,12 @@ def generate_shadow_rays(ray_o, ray_d, light, plane):
     dst = dst / jnp.linalg.norm(dst, axis=-1, keepdims=True)
     src = jnp.broadcast_to(light, dst.shape)
     return src, dst, jnp.asarray(idx.astype(np.int32))
+
+
+def mark_first_hit(ridx):
+    """Deprecated alias of :func:`mark_pack_boundaries`
+    (reference ``kaolin/render/spc/raytrace.py:108``)."""
+    import warnings
+    warnings.warn('mark_first_hit is deprecated, '
+                  'use mark_pack_boundaries instead', DeprecationWarning)
+    return mark_pack_boundaries(ridx)

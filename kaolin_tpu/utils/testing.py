@@ -9,6 +9,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = [
+    'contained_torch_equal',
     'FLOAT_DTYPES',
     'INT_DTYPES',
     'ALL_DTYPES',
@@ -183,3 +184,10 @@ def contained_allclose(lhs, rhs, rtol=1e-5, atol=1e-8):
             if not np.array_equal(a, b):
                 return False
     return True
+
+
+def contained_torch_equal(lhs, rhs):
+    """Recursively compares containers for exact equality (reference
+    ``kaolin/utils/testing.py:278``; name kept for API parity —
+    arrays here are jax/numpy, compared with array_equal)."""
+    return contained_allclose(lhs, rhs, rtol=0., atol=0.)
