@@ -3,16 +3,18 @@
 TPU has no hardware gather: XLA lowers per-pixel texture fetches to
 ~8 ns/element scalar loops, which makes bilinear sampling (4 taps x C
 channels) the dominant cost of textured DIB-R rendering. This kernel
-replaces every gather with MXU matmuls:
+replaces every gather with MXU matmuls in a PIXELS-IN-LANES layout:
 
-- y interpolation: a (P_BLK, H) weight matrix with (1 - wy) at row y0
-  and wy at row y1 (one-hot for nearest mode), multiplied against the
-  (H, C*W) texture — each output row is the pixel's y-interpolated
-  texture row, for all channels at once;
-- x interpolation: the y-mixed rows are multiplied elementwise by the
-  analogous (P_BLK, C*W) x-weight matrix and contracted against a
-  constant (C*W, C) block-column selector — a second matmul, no
-  reductions on the VPU.
+- coordinates stream as (B, P/128, 128) lane groups (fully packed
+  (8, 128) tiles — a (P, 1) pixel-major layout wastes 128x physical
+  HBM bandwidth to tile padding and was measured I/O-bound at
+  1.4 ms/frame before any compute);
+- per 128-pixel group, y interpolation builds a transposed weight
+  matrix wyT (H, 128) (two nonzeros per column) and one matmul
+  texT (C*W, H) @ wyT mixes the two texture rows of every pixel for
+  all channels at once;
+- x interpolation multiplies by the analogous wxT tiled per channel
+  and reduces over the W sublanes — pixels stay in lanes end to end.
 
 Restricted to textures with H <= 128 and W <= 128 lanes (typical DIB-R
 texture maps); the XLA gather path remains the fallback and the
@@ -30,45 +32,66 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ['grid_sample_pallas']
+__all__ = ['grid_sample_pallas', 'grid_sample_coords']
 
-P_BLK = 1024   # (P_BLK, 128)-padded intermediates must fit VMEM
+RB = 8         # 128-pixel lane groups per block (= 1024 pixels)
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _weightsT(coord, size, mode, dtype, with_grad=False):
+    """Transposed interpolation weights for one lane group.
+
+    ``coord`` (1, 128) -> (size, 128) with (1 - w) at row floor(c) and
+    w at row min(floor(c)+1, size-1) (one-hot for nearest mode); with
+    ``with_grad`` also returns d/dcoord (-1/+1 at the two taps).
+    """
+    rows = jax.lax.broadcasted_iota(jnp.int32, (size, 128), 0)
+    if mode == 'nearest':
+        cn = jnp.round(coord).astype(jnp.int32)
+        one = (rows == cn).astype(dtype)
+        if with_grad:
+            return one, jnp.zeros_like(one)
+        return one
+    c0f = jnp.floor(coord)
+    w = coord - c0f
+    c0 = c0f.astype(jnp.int32)
+    c1 = jnp.minimum(c0 + 1, size - 1)
+    val = (jnp.where(rows == c0, 1. - w, 0.)
+           + jnp.where(rows == c1, w, 0.)).astype(dtype)
+    if with_grad:
+        dval = ((rows == c1).astype(dtype) - (rows == c0).astype(dtype))
+        return val, dval
+    return val
 
 
 def _sample_kernel(tex_ref, ix_ref, iy_ref, out_ref, *, H, W, C, mode):
-    ix = ix_ref[0, :, :]                               # (P_BLK, 1) f32
-    iy = iy_ref[0, :, :]
-    dtype = tex_ref.dtype
+    tex = tex_ref[0]                                    # (C*W, H)
+    dtype = tex.dtype
+    for s in range(RB):
+        x = ix_ref[0, s:s + 1, :]                       # (1, 128)
+        y = iy_ref[0, s:s + 1, :]
+        wyT = _weightsT(y, H, mode, dtype)              # (H, 128)
+        wxT = _weightsT(x, W, mode, dtype)              # (W, 128)
+        rowsT = jax.lax.dot_general(
+            tex, wyT, (((1,), (0,)), ((), ())), precision=_HI)
+        for c in range(C):
+            out_ref[0, c, s:s + 1, :] = jnp.sum(
+                rowsT[c * W:(c + 1) * W] * wxT, axis=0, keepdims=True)
 
-    def weights(coord, size):
-        cols = jax.lax.broadcasted_iota(jnp.int32, (P_BLK, size), 1)
-        if mode == 'nearest':
-            c0 = jnp.round(coord).astype(jnp.int32)
-            return (cols == c0).astype(dtype)
-        c0f = jnp.floor(coord)
-        w = coord - c0f
-        c0 = c0f.astype(jnp.int32)
-        c1 = jnp.minimum(c0 + 1, size - 1)
-        return (jnp.where(cols == c0, 1. - w, 0.)
-                + jnp.where(cols == c1, w, 0.))
 
-    wy = weights(iy, H)                                # (P_BLK, H)
-    wx = weights(ix, W)                                # (P_BLK, W)
+def _tex_T(input_maps):
+    """(B, C, H, W) -> (B, C*W, H): row c*W+x holds texel column x of
+    channel c across y."""
+    B, C, H, W = input_maps.shape
+    return jnp.transpose(input_maps, (0, 1, 3, 2)).reshape(B, C * W, H)
 
-    # y interpolation: one matmul mixes the two texture rows per pixel
-    rows = jax.lax.dot_general(
-        wy, tex_ref[0, :, :], (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST)           # (P_BLK, C*W)
 
-    # x interpolation: elementwise weights, then a block-column selector
-    # matmul sums each channel's W lanes (no VPU reductions)
-    wx_big = jnp.concatenate([wx] * C, axis=1)         # (P_BLK, C*W)
-    colc = jax.lax.broadcasted_iota(jnp.int32, (C * W, C), 0) // W
-    sel = (colc == jax.lax.broadcasted_iota(jnp.int32, (C * W, C), 1)
-           ).astype(dtype)
-    out_ref[0, :, :] = jax.lax.dot_general(
-        rows * wx_big, sel, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST)           # (P_BLK, C)
+def _pack(coords, P_pad):
+    """(B, P) -> (B, (P+pad)/128, 128) packed lane groups."""
+    B, P = coords.shape
+    if P_pad != P:
+        coords = jnp.pad(coords, ((0, 0), (0, P_pad - P)))
+    return coords.reshape(B, P_pad // 128, 128)
 
 
 @functools.partial(jax.jit, static_argnames=('mode', 'interpret'))
@@ -79,101 +102,74 @@ def grid_sample_pallas(input_maps, ix, iy, mode='bilinear',
     B, C, H, W = input_maps.shape
     P = ix.shape[1]
     assert H <= 128 and W <= 128, (H, W)
-    pad = (-P) % P_BLK
-    if pad:
-        ix = jnp.pad(ix, ((0, 0), (0, pad)))
-        iy = jnp.pad(iy, ((0, 0), (0, pad)))
-    Pp = P + pad
-    # (B, H, C*W): channel-major lanes per texture row
-    tex = jnp.transpose(input_maps, (0, 2, 1, 3)).reshape(B, H, C * W)
-
+    Pp = P + (-P) % (RB * 128)
+    ixg = _pack(ix, Pp)
+    iyg = _pack(iy, Pp)
+    tex = _tex_T(input_maps)
     kernel = functools.partial(_sample_kernel, H=H, W=W, C=C, mode=mode)
     out = pl.pallas_call(
         kernel,
-        grid=(B, Pp // P_BLK),
+        grid=(B, Pp // (RB * 128)),
         in_specs=[
-            pl.BlockSpec((1, H, C * W), lambda b, p: (b, 0, 0),
+            pl.BlockSpec((1, C * W, H), lambda b, p: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P_BLK, 1), lambda b, p: (b, p, 0),
+            pl.BlockSpec((1, RB, 128), lambda b, p: (b, p, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P_BLK, 1), lambda b, p: (b, p, 0),
+            pl.BlockSpec((1, RB, 128), lambda b, p: (b, p, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, P_BLK, C), lambda b, p: (b, p, 0),
+        out_specs=pl.BlockSpec((1, C, RB, 128), lambda b, p: (b, 0, p, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Pp, C), input_maps.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, C, Pp // 128, 128),
+                                       input_maps.dtype),
         interpret=interpret,
-    )(tex, ix[..., None], iy[..., None])
-    return out[:, :P]
+    )(tex, ixg, iyg)
+    return jnp.transpose(out.reshape(B, C, Pp)[:, :, :P], (0, 2, 1))
 
 
 def _sample_bwd_kernel(tex_ref, ix_ref, iy_ref, cot_ref, dtex_ref, dix_ref,
                        diy_ref, *, H, W, C, mode):
     """Gradients w.r.t. texture and sampler coords, gather-free.
 
-    d/dtex is the transpose of the forward mixing (one matmul per pixel
-    block accumulated into the revisited (H, C*W) output); d/dix and
-    d/diy replace the weight matrices by their coordinate derivatives
-    (+-1 at the two taps; identically zero for nearest mode).
+    d/dtex contracts (cot * wx) against wy over the 128 pixel lanes
+    (one matmul per group, accumulated across the revisited (C*W, H)
+    output); d/dix and d/diy replace the weight matrices by their
+    coordinate derivatives (identically zero for nearest mode).
     """
     p = pl.program_id(1)
-    ix = ix_ref[0, :, :]
-    iy = iy_ref[0, :, :]
-    cot = cot_ref[0, :, :]                             # (P_BLK, C)
-    dtype = tex_ref.dtype
+    tex = tex_ref[0]
+    dtype = tex.dtype
+    acc = jnp.zeros((tex.shape[0], H), dtype)
+    for s in range(RB):
+        x = ix_ref[0, s:s + 1, :]
+        y = iy_ref[0, s:s + 1, :]
+        wyT, dwyT = _weightsT(y, H, mode, dtype, with_grad=True)
+        wxT, dwxT = _weightsT(x, W, mode, dtype, with_grad=True)
+        cot_bigT = jnp.concatenate(
+            [jnp.broadcast_to(cot_ref[0, c, s:s + 1, :], (W, 128))
+             for c in range(C)], axis=0)                # (C*W, 128)
+        wx_bigT = jnp.concatenate([wxT] * C, axis=0)
+        G = cot_bigT * wx_bigT
+        acc = acc + jax.lax.dot_general(
+            G, wyT, (((1,), (1,)), ((), ())), precision=_HI)  # (C*W, H)
+        if mode == 'nearest':
+            dix_ref[0, s:s + 1, :] = jnp.zeros((1, 128), dtype)
+            diy_ref[0, s:s + 1, :] = jnp.zeros((1, 128), dtype)
+        else:
+            rowsT = jax.lax.dot_general(
+                tex, wyT, (((1,), (0,)), ((), ())), precision=_HI)
+            rows_dyT = jax.lax.dot_general(
+                tex, dwyT, (((1,), (0,)), ((), ())), precision=_HI)
+            dwx_bigT = jnp.concatenate([dwxT] * C, axis=0)
+            dix_ref[0, s:s + 1, :] = jnp.sum(
+                rowsT * dwx_bigT * cot_bigT, axis=0, keepdims=True)
+            diy_ref[0, s:s + 1, :] = jnp.sum(
+                rows_dyT * wx_bigT * cot_bigT, axis=0, keepdims=True)
 
     @pl.when(p == 0)
     def _():
-        dtex_ref[...] = jnp.zeros_like(dtex_ref)
-
-    def weights(coord, size):
-        cols = jax.lax.broadcasted_iota(jnp.int32, (P_BLK, size), 1)
-        c0f = jnp.floor(coord)
-        w = coord - c0f
-        c0 = c0f.astype(jnp.int32)
-        c1 = jnp.minimum(c0 + 1, size - 1)
-        if mode == 'nearest':
-            cn = jnp.round(coord).astype(jnp.int32)
-            one = (cols == cn).astype(dtype)
-            return one, jnp.zeros_like(one)
-        val = (jnp.where(cols == c0, 1. - w, 0.)
-               + jnp.where(cols == c1, w, 0.))
-        dv = ((cols == c1).astype(dtype) - (cols == c0).astype(dtype))
-        return val, dv
-
-    wy, dwy = weights(iy, H)
-    wx, dwx = weights(ix, W)
-    wx_big = jnp.concatenate([wx] * C, axis=1)
-    dwx_big = jnp.concatenate([dwx] * C, axis=1)
-
-    colc = jax.lax.broadcasted_iota(jnp.int32, (C * W, C), 0) // W
-    sel = (colc == jax.lax.broadcasted_iota(jnp.int32, (C * W, C), 1)
-           ).astype(dtype)
-    cot_big = jax.lax.dot_general(
-        cot, sel, (((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST)           # (P_BLK, C*W)
-
-    hi = jax.lax.Precision.HIGHEST
-    G = cot_big * wx_big
-    dtex_ref[0, :, :] = dtex_ref[0, :, :] + jax.lax.dot_general(
-        wy, G, (((0,), (0,)), ((), ())), precision=hi)  # (H, C*W)
-
-    if mode == 'nearest':
-        dix_ref[0, :, :] = jnp.zeros((P_BLK, 1), dtype)
-        diy_ref[0, :, :] = jnp.zeros((P_BLK, 1), dtype)
-        return
-    tex = tex_ref[0, :, :]
-    rows = jax.lax.dot_general(wy, tex, (((1,), (0,)), ((), ())),
-                               precision=hi)            # (P_BLK, C*W)
-    rows_dy = jax.lax.dot_general(dwy, tex, (((1,), (0,)), ((), ())),
-                                  precision=hi)
-    ones = jnp.ones((C * W, 1), dtype)
-    dix_ref[0, :, :] = jax.lax.dot_general(
-        rows * dwx_big * cot_big, ones, (((1,), (0,)), ((), ())),
-        precision=hi)
-    diy_ref[0, :, :] = jax.lax.dot_general(
-        rows_dy * wx_big * cot_big, ones, (((1,), (0,)), ((), ())),
-        precision=hi)
+        dtex_ref[0] = jnp.zeros_like(dtex_ref[0])
+    dtex_ref[0] = dtex_ref[0] + acc
 
 
 @functools.partial(jax.jit, static_argnames=('mode', 'interpret'))
@@ -181,47 +177,49 @@ def _grid_sample_bwd_pallas(input_maps, ix, iy, cot, mode='bilinear',
                             interpret=False):
     B, C, H, W = input_maps.shape
     P = ix.shape[1]
-    pad = (-P) % P_BLK
-    if pad:
-        ix = jnp.pad(ix, ((0, 0), (0, pad)))
-        iy = jnp.pad(iy, ((0, 0), (0, pad)))
-        cot = jnp.pad(cot, ((0, 0), (0, pad), (0, 0)))
-    Pp = P + pad
-    tex = jnp.transpose(input_maps, (0, 2, 1, 3)).reshape(B, H, C * W)
+    Pp = P + (-P) % (RB * 128)
+    ixg = _pack(ix, Pp)
+    iyg = _pack(iy, Pp)
+    cotT = jnp.transpose(cot, (0, 2, 1))                # (B, C, P)
+    if Pp != P:
+        cotT = jnp.pad(cotT, ((0, 0), (0, 0), (0, Pp - P)))
+    cotg = cotT.reshape(B, C, Pp // 128, 128)
+    tex = _tex_T(input_maps)
     kernel = functools.partial(_sample_bwd_kernel, H=H, W=W, C=C,
                                mode=mode)
+    G128 = Pp // 128
     dtex, dix, diy = pl.pallas_call(
         kernel,
-        grid=(B, Pp // P_BLK),
+        grid=(B, Pp // (RB * 128)),
         in_specs=[
-            pl.BlockSpec((1, H, C * W), lambda b, p: (b, 0, 0),
+            pl.BlockSpec((1, C * W, H), lambda b, p: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P_BLK, 1), lambda b, p: (b, p, 0),
+            pl.BlockSpec((1, RB, 128), lambda b, p: (b, p, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P_BLK, 1), lambda b, p: (b, p, 0),
+            pl.BlockSpec((1, RB, 128), lambda b, p: (b, p, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P_BLK, C), lambda b, p: (b, p, 0),
+            pl.BlockSpec((1, C, RB, 128), lambda b, p: (b, 0, p, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, H, C * W), lambda b, p: (b, 0, 0),
+            pl.BlockSpec((1, C * W, H), lambda b, p: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P_BLK, 1), lambda b, p: (b, p, 0),
+            pl.BlockSpec((1, RB, 128), lambda b, p: (b, p, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P_BLK, 1), lambda b, p: (b, p, 0),
+            pl.BlockSpec((1, RB, 128), lambda b, p: (b, p, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, C * W), input_maps.dtype),
-            jax.ShapeDtypeStruct((B, Pp, 1), input_maps.dtype),
-            jax.ShapeDtypeStruct((B, Pp, 1), input_maps.dtype),
+            jax.ShapeDtypeStruct((B, C * W, H), input_maps.dtype),
+            jax.ShapeDtypeStruct((B, G128, 128), input_maps.dtype),
+            jax.ShapeDtypeStruct((B, G128, 128), input_maps.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary', 'arbitrary')),
         interpret=interpret,
-    )(tex, ix[..., None], iy[..., None], cot)
-    dmaps = jnp.transpose(dtex.reshape(B, H, C, W), (0, 2, 1, 3))
-    return dmaps, dix[:, :P, 0], diy[:, :P, 0]
+    )(tex, ixg, iyg, cotg)
+    dmaps = jnp.transpose(dtex.reshape(B, C, W, H), (0, 1, 3, 2))
+    return (dmaps, dix.reshape(B, Pp)[:, :P], diy.reshape(B, Pp)[:, :P])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
