@@ -112,3 +112,50 @@ def test_sharded_raytrace_matches_single():
                                       np.asarray(ref[1])[:c])
         np.testing.assert_allclose(depth[lo:lo + c, 0],
                                    np.asarray(ref[2])[:c, 0], rtol=1e-6)
+
+
+def test_sharded_metrics_match_single_device():
+    """Sharded chamfer / sided / point-to-mesh vs single-device, grads
+    included (8 virtual CPU devices)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from kaolin_tpu.parallel import (make_mesh, sharded_sided_distance,
+                                     sharded_chamfer_distance,
+                                     sharded_point_to_mesh_distance)
+    from kaolin_tpu.metrics.pointcloud import sided_distance, chamfer_distance
+    from kaolin_tpu.metrics.trianglemesh import point_to_mesh_distance
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(0)
+    p1 = jnp.asarray(rng.random((2, 64, 3)), jnp.float32)
+    p2 = jnp.asarray(rng.random((2, 96, 3)), jnp.float32)
+    fv = jnp.asarray(rng.random((2, 40, 3, 3)), jnp.float32)
+
+    d_ref, i_ref = sided_distance(p1, p2)
+    d_sh, i_sh = sharded_sided_distance(mesh, p1, p2)
+    np.testing.assert_allclose(np.asarray(d_sh), np.asarray(d_ref),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i_sh), np.asarray(i_ref))
+
+    c_ref = chamfer_distance(p1, p2)
+    c_sh = sharded_chamfer_distance(mesh, p1, p2)
+    np.testing.assert_allclose(np.asarray(c_sh), np.asarray(c_ref),
+                               rtol=1e-6)
+
+    dm_ref, im_ref, tm_ref = point_to_mesh_distance(p1, fv)
+    dm_sh, im_sh, tm_sh = sharded_point_to_mesh_distance(mesh, p1, fv)
+    np.testing.assert_allclose(np.asarray(dm_sh), np.asarray(dm_ref),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(im_sh), np.asarray(im_ref))
+    np.testing.assert_array_equal(np.asarray(tm_sh), np.asarray(tm_ref))
+
+    # gradients: replicated operand gets psum-reduced partials
+    g_ref = jax.grad(lambda a, b: chamfer_distance(a, b).sum(),
+                     argnums=(0, 1))(p1, p2)
+    g_sh = jax.grad(
+        lambda a, b: sharded_chamfer_distance(mesh, a, b).sum(),
+        argnums=(0, 1))(p1, p2)
+    for a, b in zip(g_sh, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
