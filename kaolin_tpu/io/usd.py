@@ -43,7 +43,11 @@ __all__ = [
     'get_pointcloud_bracketing_time_samples',
 ]
 
-mesh_return_type = namedtuple('mesh_return_type', ['vertices', 'faces'])
+mesh_return_type = namedtuple(
+    'mesh_return_type',
+    ['vertices', 'faces', 'uvs', 'face_uvs_idx', 'face_normals',
+     'materials'],
+    defaults=(None, None, None, None))
 pointcloud_return_type = namedtuple('pointcloud_return_type',
                                     ['points', 'colors', 'normals'])
 
@@ -326,6 +330,14 @@ def add_mesh(stage, scene_path, vertices=None, faces=None, uvs=None,
         else:
             prim.time_attrs.setdefault(
                 'primvars:st:indices', ('int[]', {}))[1][float(time)] = arr
+    if face_normals is not None:
+        # faceVarying: one normal per face-vertex, flattened in face order
+        arr = np.asarray(face_normals).reshape(-1, 3)
+        if time is None:
+            prim.attrs['normals'] = ('normal3f[]', arr)
+        else:
+            prim.time_attrs.setdefault(
+                'normals', ('normal3f[]', {}))[1][float(time)] = arr
     return stage
 
 
@@ -376,12 +388,16 @@ def _value_at(prim, name, time):
     return None
 
 
-def import_mesh(file_path_or_stage, scene_path=None, time=None):
+def import_mesh(file_path_or_stage, scene_path=None, with_materials=False,
+                with_normals=False, heterogeneous_mesh_handler=None,
+                time=None):
     """Imports a single mesh (reference ``io/usd.py:463``).
 
     Returns:
-        namedtuple (vertices, faces).
+        namedtuple (vertices, faces, uvs, face_uvs_idx, face_normals,
+        materials).
     """
+    from . import utils as io_utils
     stage = _open(file_path_or_stage)
     if scene_path is None:
         paths = get_scene_paths(stage, prim_types='Mesh')
@@ -394,27 +410,75 @@ def import_mesh(file_path_or_stage, scene_path=None, time=None):
     pts = _value_at(prim, 'points', time)
     counts = _value_at(prim, 'faceVertexCounts', time)
     indices = _value_at(prim, 'faceVertexIndices', time)
+    uvs = _value_at(prim, 'primvars:st', time)
+    st_idx = _value_at(prim, 'primvars:st:indices', time)
+    normals = _value_at(prim, 'normals', time) if with_normals else None
     vertices = jnp.asarray(np.asarray(pts, np.float32)) \
         if pts is not None else None
-    faces = None
+    faces = face_uvs_idx = face_normals = None
     if indices is not None and counts is not None and len(counts):
-        fs = int(counts[0])
-        faces = jnp.asarray(np.asarray(indices, np.int64).reshape(-1, fs))
-    return mesh_return_type(vertices, faces)
+        counts_np = np.asarray(counts, np.int64)
+        flat = np.asarray(indices, np.int64)
+        flat_uv = None if st_idx is None else np.asarray(st_idx, np.int64)
+        flat_nrm = None if normals is None else \
+            np.arange(len(flat), dtype=np.int64)   # faceVarying order
+        if np.any(counts_np != counts_np[0]):
+            if heterogeneous_mesh_handler is None:
+                raise io_utils.NonHomogeneousMeshError(
+                    f'Mesh at {scene_path} is non-homogeneous; pass a '
+                    f'heterogeneous_mesh_handler (see kaolin_tpu.io.utils)')
+            res = heterogeneous_mesh_handler(
+                vertices, counts_np, flat, flat_uv, flat_nrm)
+            if res is None:
+                return None
+            vertices, counts_np, faces_h, flat_uv, flat_nrm = res
+            faces_np = np.asarray(faces_h, np.int64)
+        else:
+            fs = int(counts_np[0])
+            faces_np = flat.reshape(-1, fs)
+            if flat_uv is not None:
+                flat_uv = flat_uv.reshape(-1, fs)
+            if flat_nrm is not None:
+                flat_nrm = flat_nrm.reshape(-1, fs)
+        faces = jnp.asarray(faces_np)
+        if flat_uv is not None:
+            face_uvs_idx = jnp.asarray(np.asarray(flat_uv, np.int64))
+        if flat_nrm is not None and normals is not None:
+            nrm = np.asarray(normals, np.float32)
+            face_normals = jnp.asarray(
+                nrm[np.asarray(flat_nrm, np.int64).reshape(-1)].reshape(
+                    faces.shape[0], faces.shape[1], 3))
+    uvs_out = None if uvs is None \
+        else jnp.asarray(np.asarray(uvs, np.float32))
+    materials = None
+    if with_materials:
+        materials = []
+        binding = prim.attrs.get('material:binding', (None, None))[1]
+        if binding:
+            try:
+                materials.append(import_material(stage, str(binding)))
+            except Exception:                       # noqa: BLE001
+                pass
+    return mesh_return_type(vertices, faces, uvs_out, face_uvs_idx,
+                            face_normals, materials)
 
 
-def import_meshes(file_path_or_stage, scene_paths=None, times=None):
-    """Imports multiple meshes (reference ``io/usd.py:517``)."""
+def import_meshes(file_path_or_stage, scene_paths=None,
+                  with_materials=False, with_normals=False,
+                  heterogeneous_mesh_handler=None, times=None):
+    """Imports multiple meshes as a list of namedtuples (reference
+    ``io/usd.py:517``; meshes skipped by the handler are dropped)."""
     stage = _open(file_path_or_stage)
     if scene_paths is None:
         scene_paths = get_scene_paths(stage, prim_types='Mesh')
     if times is None:
         times = [None] * len(scene_paths)
-    out = [import_mesh(stage, sp, t) for sp, t in zip(scene_paths, times)]
-    if not out:
-        return [], []
-    vertices, faces = zip(*out)
-    return list(vertices), list(faces)
+    out = [import_mesh(stage, sp, with_materials=with_materials,
+                       with_normals=with_normals,
+                       heterogeneous_mesh_handler=heterogeneous_mesh_handler,
+                       time=t)
+           for sp, t in zip(scene_paths, times)]
+    return [m for m in out if m is not None]
 
 
 # --------------------------------------------------------------------------

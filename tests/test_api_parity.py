@@ -124,3 +124,47 @@ def test_extrinsics_register_backend():
     pts = jnp.asarray([[[0., 0., 0.]]])
     np.testing.assert_allclose(np.asarray(ext.transform(pts))[0, 0],
                                [1., 2., 3.], atol=1e-5)
+
+
+def test_usd_mesh_full_fields_roundtrip(tmp_path):
+    """uvs / face_uvs_idx / face_normals round-trip through usda
+    (reference io/usd.py:463 six-field namedtuple)."""
+    rng = np.random.default_rng(0)
+    p = str(tmp_path / 'm.usda')
+    verts = rng.random((5, 3)).astype(np.float32)
+    faces = np.asarray([[0, 1, 2], [1, 3, 2], [2, 3, 4]])
+    uvs = rng.random((5, 2)).astype(np.float32)
+    fuv = faces.copy()
+    fn = rng.random((3, 3, 3)).astype(np.float32)
+    kal.io.usd.export_mesh(p, vertices=verts, faces=faces, uvs=uvs,
+                           face_uvs_idx=fuv, face_normals=fn)
+    out = kal.io.usd.import_mesh(p, with_normals=True)
+    np.testing.assert_allclose(out.vertices, verts, rtol=1e-6)
+    np.testing.assert_array_equal(out.faces, faces)
+    np.testing.assert_allclose(out.uvs, uvs, rtol=1e-6)
+    np.testing.assert_array_equal(out.face_uvs_idx, fuv)
+    np.testing.assert_allclose(out.face_normals, fn, rtol=1e-6)
+    assert out.materials is None        # with_materials=False
+    many = kal.io.usd.import_meshes(p, with_normals=True)
+    assert len(many) == 1 and many[0].faces.shape == (3, 3)
+
+
+def test_usd_heterogeneous_mesh_handler(tmp_path):
+    from kaolin_tpu.io.utils import (
+        NonHomogeneousMeshError, heterogeneous_mesh_handler_naive_homogenize)
+    p = str(tmp_path / 'het.usda')
+    st = kal.io.usd.create_stage(p)
+    prim = st.define_prim('/World/m', 'Mesh')
+    prim.attrs['points'] = ('point3f[]',
+                            np.random.rand(5, 3).astype(np.float32))
+    prim.attrs['faceVertexCounts'] = ('int[]', np.asarray([3, 4]))
+    prim.attrs['faceVertexIndices'] = ('int[]',
+                                       np.asarray([0, 1, 2, 1, 3, 4, 2]))
+    st.save()
+    with pytest.raises(NonHomogeneousMeshError):
+        kal.io.usd.import_mesh(p)
+    out = kal.io.usd.import_mesh(
+        p, heterogeneous_mesh_handler=heterogeneous_mesh_handler_naive_homogenize)
+    # 3-gon stays, 4-gon fans into 2 triangles
+    np.testing.assert_array_equal(
+        out.faces, [[0, 1, 2], [1, 3, 4], [1, 4, 2]])
