@@ -65,8 +65,12 @@ def create_server(logdir, port):
 
     class IndexHandler(tornado.web.RequestHandler):
         def get(self):
+            maxviews = get_max_viewports(
+                {'maxviews': self.get_argument('maxviews', None)})
             with open(_HTML_PATH, 'r', encoding='utf-8') as f:
-                self.write(f.read())
+                page = f.read().replace('data-maxviews="3"',
+                                        f'data-maxviews="{maxviews}"')
+            self.write(page)
 
     class GeometryWS(tornado.websocket.WebSocketHandler):
         def on_message(self, message):

@@ -122,6 +122,8 @@ class Stage:
         lines.append('')
 
         def fmt_value(usd_type, value):
+            if usd_type == 'rel':
+                return f'<{value}>'
             if usd_type == 'string':
                 return f'"{value}"'
             if usd_type == 'bool':
@@ -188,6 +190,8 @@ class Stage:
 
         def parse_value(usd_type, raw):
             raw = raw.strip().rstrip(',')
+            if usd_type == 'rel':
+                return raw.strip().strip('<>')
             if usd_type == 'string':
                 return raw.strip('"')
             if usd_type == 'bool':
@@ -454,11 +458,8 @@ def import_mesh(file_path_or_stage, scene_path=None, with_materials=False,
     if with_materials:
         materials = []
         binding = prim.attrs.get('material:binding', (None, None))[1]
-        if binding:
-            try:
-                materials.append(import_material(stage, str(binding)))
-            except Exception:                       # noqa: BLE001
-                pass
+        if isinstance(binding, str) and binding:
+            materials.append(import_material(stage, binding))
     return mesh_return_type(vertices, faces, uvs_out, face_uvs_idx,
                             face_normals, materials)
 
@@ -524,15 +525,21 @@ def export_pointcloud(file_path, pointcloud,
 
 
 def import_pointcloud(file_path_or_stage, scene_path=None, time=None):
-    """Reference: ``io/usd.py:834``. Returns (points, colors, normals)."""
+    """Reference: ``io/usd.py:834``. Returns (points, colors, normals).
+
+    Reads ``Points`` prims and pointcloud ``PointInstancer`` prims (the
+    reference's default pointcloud export form stores ``positions``).
+    """
     stage = _open(file_path_or_stage)
     if scene_path is None:
-        paths = get_scene_paths(stage, prim_types='Points')
+        paths = get_pointcloud_scene_paths(stage)
         if not paths:
-            raise ValueError('no Points prim found')
+            raise ValueError('no pointcloud prim found')
         scene_path = paths[0]
     prim = stage.get_prim(scene_path)
     pts = _value_at(prim, 'points', time)
+    if pts is None:
+        pts = _value_at(prim, 'positions', time)    # PointInstancer form
     colors = _value_at(prim, 'primvars:displayColor', time)
     normals = _value_at(prim, 'normals', time)
     return pointcloud_return_type(
@@ -714,15 +721,22 @@ def get_pointcloud_bracketing_time_samples(stage, scene_path, target_time):
 # materials
 # --------------------------------------------------------------------------
 
-def add_material(file_path, scene_path, material, texture_dir='.'):
+def add_material(file_path, scene_path, material, texture_dir='.',
+                 bind_to=None):
     """Writes a PBRMaterial as a Shader prim; textures as side PNGs.
 
-    Reference: the pxr UsdShade export in ``io/materials.py``.
+    Reference: the pxr UsdShade export in ``io/materials.py``. Pass
+    ``bind_to`` (a mesh scene path) to author a ``material:binding``
+    rel on that prim so ``import_mesh(with_materials=True)`` finds it.
     """
     from PIL import Image
     from .materials import _VALUE_FIELDS, _TEXTURE_FIELDS
     stage = _open(file_path)
+    file_path = str(stage.file_path)
     prim = stage.define_prim(scene_path, 'Shader')
+    if bind_to is not None:
+        mesh_prim = stage.get_prim(bind_to) or stage.define_prim(bind_to)
+        mesh_prim.attrs['material:binding'] = ('rel', scene_path)
     prim.attrs['info:id'] = ('string', 'UsdPreviewSurface')
     for field in _VALUE_FIELDS:
         val = getattr(material, field)
@@ -758,6 +772,7 @@ def import_material(file_path, scene_path):
     from PIL import Image
     from .materials import PBRMaterial, _VALUE_FIELDS, _TEXTURE_FIELDS
     stage = _open(file_path)
+    file_path = str(stage.file_path)
     prim = stage.get_prim(scene_path)
     if prim is None:
         raise ValueError(f'prim {scene_path} not found')

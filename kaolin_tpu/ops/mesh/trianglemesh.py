@@ -98,9 +98,20 @@ def _weighted_face_choices(key, areas, num_samples):
     cdf = jnp.cumsum(jnp.maximum(areas, 0.), axis=-1)       # (B, F)
     u = jax.random.uniform(key, (areas.shape[0], num_samples),
                            dtype=cdf.dtype) * cdf[:, -1:]
-    pick = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side='right'))(
-        cdf, u)
-    return jnp.clip(pick, 0, areas.shape[-1] - 1).astype(jnp.int32)
+    return _picks_from_cdf(cdf, u)
+
+
+def _picks_from_cdf(cdf, q):
+    """Inverse-CDF picks. ``q`` in [0, total] — q that rounds UP to
+    exactly the total (u = 1 - 2^-25 observed from jax.random.uniform)
+    falls past the end of ``searchsorted``; clamp to the LAST
+    positive-area face (first index where cdf reaches the total), so
+    zero-area (masked/padded) faces are never selected."""
+    pick = jax.vmap(lambda c, qq: jnp.searchsorted(c, qq, side='right'))(
+        cdf, q)
+    last_pos = jax.vmap(lambda c: jnp.searchsorted(c, c[-1], side='left'))(
+        cdf)
+    return jnp.minimum(pick, last_pos[:, None]).astype(jnp.int32)
 
 
 def sample_points(vertices, faces, num_samples, areas=None, face_features=None,

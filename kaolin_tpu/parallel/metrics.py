@@ -27,24 +27,6 @@ def _flat_axes(mesh):
     return tuple(mesh.axis_names)
 
 
-def _shard_points_call(mesh, fn, p1, *replicated):
-    axes = _flat_axes(mesh)
-    ndev = 1
-    for a in axes:
-        ndev *= mesh.shape[a]
-    N = p1.shape[1]
-    assert N % ndev == 0, (N, ndev)
-
-    in_specs = (P(None, axes),) + (P(),) * len(replicated)
-
-    @functools.partial(shard_map, mesh=mesh, in_specs=in_specs,
-                       out_specs=P(None, axes), check_vma=False)
-    def inner(p1_local, *rep):
-        return fn(p1_local, *rep)
-
-    return inner(p1, *replicated)
-
-
 def sharded_sided_distance(mesh, p1, p2, backend='auto'):
     """:func:`sided_distance` with ``p1`` sharded over every mesh axis
     and ``p2`` replicated. Returns (dist (B, N1), idx (B, N1)),

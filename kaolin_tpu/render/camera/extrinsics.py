@@ -39,7 +39,11 @@ def register_backend(name, params_from_mat=None, mat_from_params=None):
     them as staticmethods (the reference's ``ExtrinsicsRep`` subclass
     pattern).
     """
-    if params_from_mat is not None:
+    if params_from_mat is not None or mat_from_params is not None:
+        if params_from_mat is None or mat_from_params is None:
+            raise ValueError(
+                'register_backend needs BOTH params_from_mat and '
+                'mat_from_params (or neither, for decorator use)')
         _BACKEND_REGISTRY[name] = (params_from_mat, mat_from_params)
         return None
 

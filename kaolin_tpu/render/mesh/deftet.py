@@ -19,9 +19,11 @@ import jax.numpy as jnp
 __all__ = ['deftet_sparse_render']
 
 
-@functools.partial(jax.jit, static_argnames=('knum', 'eps', 'chunk'))
+@functools.partial(jax.jit,
+                   static_argnames=('knum', 'eps', 'chunk', 'tie_exact'))
 def _select_topk(pixel_coords, render_ranges, face_vertices_z,
-                 face_vertices_image, valid_mask, knum, eps, chunk=1024):
+                 face_vertices_image, valid_mask, knum, eps, chunk=1024,
+                 tie_exact=False):
     """Per-pixel top-knum face indices by descending depth (non-diff)."""
     B, P, _ = pixel_coords.shape
     F = face_vertices_z.shape[1]
@@ -64,9 +66,14 @@ def _select_topk(pixel_coords, render_ranges, face_vertices_z,
         in_range = ((depth > rranges[..., 0][:, :, None])
                     & (depth < rranges[..., 1][:, :, None]))
         score = jnp.where(in_bbox & inside & in_range, depth, -jnp.inf)
-        if jax.default_backend() == 'tpu':
-            # exact at recall_target=1.0 and ~2x faster than lax.top_k
-            # on this backend (PartialReduce lowering)
+        if jax.default_backend() == 'tpu' and not tie_exact:
+            # exact VALUES at recall_target=1.0 and ~2x faster than
+            # lax.top_k on this backend (PartialReduce lowering).
+            # CAVEAT: on exactly-tied depths (coplanar/duplicated
+            # faces) the surviving INDEX is unspecified, unlike
+            # top_k's lowest-index rule — pass tie_exact=True for
+            # bit-parity with the CPU path when ties can straddle the
+            # knum boundary.
             top_val, top_idx = jax.lax.approx_max_k(
                 score, knum, recall_target=1.0)        # (B, chunk, knum)
         else:
@@ -81,7 +88,7 @@ def _select_topk(pixel_coords, render_ranges, face_vertices_z,
 
 def deftet_sparse_render(pixel_coords, render_ranges, face_vertices_z,
                          face_vertices_image, face_features, knum=300,
-                         valid_faces=None, eps=1e-8):
+                         valid_faces=None, eps=1e-8, tie_exact=False):
     r"""Renders all ray-face intersections per pixel sorted by depth.
 
     Behavior matches the reference ``kaolin.render.mesh.deftet_sparse_render``
@@ -99,6 +106,11 @@ def deftet_sparse_render(pixel_coords, render_ranges, face_vertices_z,
         knum (int): max faces per pixel.
         valid_faces: optional (batch_size, num_faces) bool.
         eps: barycentric normalization epsilon.
+        tie_exact (bool): force ``lax.top_k`` (lowest-index rule on
+            exactly tied depths) on TPU too; by default TPU uses the
+            ~2x-faster ``approx_max_k(recall_target=1.0)`` whose
+            choice among EXACTLY tied depths at the knum boundary is
+            unspecified (values are exact either way).
 
     Returns:
         (interpolated_features (B, P, knum, feat_dim) — or tuple —
@@ -119,7 +131,8 @@ def deftet_sparse_render(pixel_coords, render_ranges, face_vertices_z,
                        jax.lax.stop_gradient(render_ranges),
                        jax.lax.stop_gradient(face_vertices_z),
                        jax.lax.stop_gradient(face_vertices_image),
-                       valid_mask, int(knum), float(eps))
+                       valid_mask, int(knum), float(eps),
+                       tie_exact=bool(tie_exact))
 
     # differentiable interpolation on selected faces
     # (deftet.py:203-257 k1/k2/k3 formulation)

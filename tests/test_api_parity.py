@@ -168,3 +168,45 @@ def test_usd_heterogeneous_mesh_handler(tmp_path):
     # 3-gon stays, 4-gon fans into 2 triangles
     np.testing.assert_array_equal(
         out.faces, [[0, 1, 2], [1, 3, 4], [1, 4, 2]])
+
+
+def test_usd_material_binding_roundtrip(tmp_path):
+    """add_material(bind_to=...) authors a rel the importer reads back
+    through import_mesh(with_materials=True), including the usda
+    text round trip of the rel syntax."""
+    from kaolin_tpu.io.materials import PBRMaterial
+    p = str(tmp_path / 'mat.usda')
+    verts = np.random.rand(3, 3).astype(np.float32)
+    faces = np.asarray([[0, 1, 2]])
+    kal.io.usd.export_mesh(p, '/World/mesh', vertices=verts, faces=faces)
+    mat = PBRMaterial(name='red', diffuse_color=(1., 0., 0.),
+                      metallic_value=0.25)
+    kal.io.usd.add_material(p, '/World/Looks/red', mat,
+                            bind_to='/World/mesh')
+    out = kal.io.usd.import_mesh(p, scene_path='/World/mesh',
+                                 with_materials=True)
+    assert len(out.materials) == 1
+    np.testing.assert_allclose(out.materials[0].diffuse_color,
+                               (1., 0., 0.))
+
+
+def test_usd_pointcloud_instancer_import(tmp_path):
+    """import_pointcloud(s) reads PointInstancer-form pointclouds
+    (positions attribute), the reference's default export form."""
+    p = str(tmp_path / 'pi.usda')
+    st = kal.io.usd.create_stage(p)
+    prim = st.define_prim('/World/pc', 'PointInstancer')
+    pts = np.random.rand(7, 3).astype(np.float32)
+    prim.attrs['positions'] = ('point3f[]', pts)
+    st.save()
+    out = kal.io.usd.import_pointclouds(p)
+    assert len(out) == 1
+    np.testing.assert_allclose(out[0].points, pts, rtol=1e-6)
+
+
+def test_register_backend_rejects_partial():
+    from kaolin_tpu.render.camera import register_backend
+    with pytest.raises(ValueError):
+        register_backend('broken_test', params_from_mat=lambda m: m)
+    with pytest.raises(ValueError):
+        register_backend('broken_test2', mat_from_params=lambda p: p)

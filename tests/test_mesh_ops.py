@@ -129,3 +129,21 @@ def test_face_normals_unit():
     fv = index_vertices_by_faces(verts, faces)
     n = face_normals(fv, unit=True)
     np.testing.assert_allclose(np.asarray(n), [[[0., 0., 1.]]], atol=1e-6)
+
+
+def test_weighted_face_sampling_never_picks_zero_area():
+    """Boundary draws (q == total, observed from u = 1 - 2^-25) must
+    clamp to the last POSITIVE-area face, not a masked/padded one."""
+    import jax
+    import jax.numpy as jnp
+    from kaolin_tpu.ops.mesh.trianglemesh import (_picks_from_cdf,
+                                                  _weighted_face_choices)
+    areas = jnp.asarray([[1., 3., 0., 0.]])
+    cdf = jnp.cumsum(areas, -1)
+    # searchsorted alone overflows past the end on q == total
+    assert int(jnp.searchsorted(cdf[0], cdf[0, -1], side='right')) == 4
+    picks = _picks_from_cdf(cdf, jnp.asarray([[0., 0.5, 3.999, 4.0]]))
+    np.testing.assert_array_equal(np.asarray(picks), [[0, 0, 1, 1]])
+    # random draws stay within the positive-area prefix
+    many = _weighted_face_choices(jax.random.PRNGKey(0), areas, 20000)
+    assert int(many.max()) <= 1 and int(many.min()) >= 0
