@@ -261,3 +261,45 @@ def test_import_synthetic_view_fixture():
     assert out['bbox_2d_tight'] == meta['bbox_2d_tight']
     assert out['metadata']['clipping_range'] == \
         cam['clipping_range']
+
+
+REF_SAMPLES = '/root/reference/tests/samples'
+_have_ref = os.path.isdir(REF_SAMPLES)
+
+
+@pytest.mark.skipif(not _have_ref, reason='reference fixtures unavailable')
+def test_import_pointcloud_pxr_fixtures_both_forms():
+    """The reference's pxr-written pointcloud fixtures: GeomPoints form
+    ('points') and v0.9.0 PointInstancer form ('positions') hold the
+    same cloud and must import identically."""
+    a = usd.import_pointcloud(
+        os.path.join(REF_SAMPLES, 'rocket_pointcloud_GeomPoints.usda'))
+    b = usd.import_pointcloud(
+        os.path.join(REF_SAMPLES, 'rocket_pointcloud.v0.9.0.usda'))
+    assert a.points.shape[0] > 100
+    np.testing.assert_allclose(np.asarray(a.points), np.asarray(b.points))
+    assert len(usd.import_pointclouds(
+        os.path.join(REF_SAMPLES, 'rocket_pointcloud.v0.9.0.usda'))) == 1
+
+
+@pytest.mark.skipif(not _have_ref, reason='reference fixtures unavailable')
+def test_import_hetero_usd_fixture_with_handler():
+    """rocket_hetero.usd (pxr-written: quads + triangles + one 14-gon)
+    imports through the naive fan homogenizer; without a handler it
+    raises."""
+    from kaolin_tpu.io.utils import (
+        NonHomogeneousMeshError, heterogeneous_mesh_handler_naive_homogenize)
+    path = os.path.join(REF_SAMPLES, 'rocket_hetero.usd')
+    with pytest.raises(NonHomogeneousMeshError):
+        usd.import_mesh(path)
+    out = usd.import_mesh(
+        path,
+        heterogeneous_mesh_handler=heterogeneous_mesh_handler_naive_homogenize)
+    raw = usd.Stage.load(path)
+    prim_counts = None
+    for p, prim in raw.walk():
+        if 'faceVertexCounts' in prim.attrs:
+            prim_counts = np.asarray(prim.attrs['faceVertexCounts'][1])
+    expected_tris = int(np.sum(prim_counts - 2))
+    assert out.faces.shape == (expected_tris, 3)
+    assert int(out.faces.max()) < out.vertices.shape[0]
