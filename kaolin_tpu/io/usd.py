@@ -124,7 +124,9 @@ class Stage:
         def fmt_value(usd_type, value):
             if usd_type == 'rel':
                 return f'<{value}>'
-            if usd_type == 'string':
+            if usd_type == 'asset':
+                return f'@{value}@'
+            if usd_type in ('string', 'token'):
                 return f'"{value}"'
             if usd_type == 'bool':
                 return 'true' if value else 'false'
@@ -181,18 +183,24 @@ class Stage:
         tokens = text.splitlines()
         stack = [stage.root]
         i = 0
-        prim_re = re.compile(r'\s*def\s+(\w+)\s+"([^"]+)"')
+        # `def "Name"` (untyped, pxr 'over'-style scopes) and
+        # `uniform token ...` qualifiers appear in pxr-written files
+        prim_re = re.compile(r'\s*def(?:\s+(\w+))?\s+"([^"]+)"')
         attr_re = re.compile(
-            r'\s*([\w\[\]]+)\s+([\w:]+)\s*=\s*(.*)$')
+            r'\s*(?:uniform\s+|custom\s+)?([\w\[\]]+)\s+([\w:.]+)'
+            r'\s*=\s*(.*)$')
         time_re = re.compile(
-            r'\s*([\w\[\]]+)\s+([\w:]+)\.timeSamples\s*=\s*\{')
+            r'\s*(?:uniform\s+)?([\w\[\]]+)\s+([\w:]+)\.timeSamples'
+            r'\s*=\s*\{')
         sample_re = re.compile(r'\s*([\d.eE+-]+)\s*:\s*(.*?),?\s*$')
 
         def parse_value(usd_type, raw):
             raw = raw.strip().rstrip(',')
-            if usd_type == 'rel':
-                return raw.strip().strip('<>')
-            if usd_type == 'string':
+            if usd_type == 'rel' or raw.startswith('<'):
+                return raw.strip().strip('<>')      # prim-path targets
+            if usd_type == 'asset':
+                return raw.strip('@')
+            if usd_type in ('string', 'token'):
                 return raw.strip('"')
             if usd_type == 'bool':
                 return raw == 'true'
@@ -217,6 +225,7 @@ class Stage:
             pm = prim_re.match(line)
             if pm:
                 type_name, name = pm.groups()
+                type_name = type_name or 'Scope'
                 prim = stack[-1].child(name, type_name)
                 prim.type_name = type_name
                 # skip to opening brace
@@ -767,8 +776,98 @@ def add_material(file_path, scene_path, material, texture_dir='.',
     return stage
 
 
-def import_material(file_path, scene_path):
-    """Reads a PBRMaterial written by :func:`add_material`."""
+# UsdPreviewSurface input name -> (PBRMaterial value field, texture field)
+_PREVIEW_SURFACE_INPUTS = {
+    'diffuseColor': ('diffuse_color', 'diffuse_texture'),
+    'roughness': ('roughness_value', 'roughness_texture'),
+    'metallic': ('metallic_value', 'metallic_texture'),
+    'clearcoat': ('clearcoat_value', 'clearcoat_texture'),
+    'clearcoatRoughness': ('clearcoat_roughness_value',
+                           'clearcoat_roughness_texture'),
+    'opacity': ('opacity_value', 'opacity_texture'),
+    'opacityThreshold': ('opacity_threshold', None),
+    'ior': ('ior_value', 'ior_texture'),
+    'specularColor': ('specular_color', 'specular_texture'),
+    'normal': (None, 'normals_texture'),
+    'displacement': ('displacement_value', 'displacement_texture'),
+}
+
+
+def _load_texture(base_dir, rel):
+    from PIL import Image
+    arr = np.asarray(Image.open(os.path.join(base_dir, rel)))
+    arr = arr.astype(np.float32) / 255.
+    return jnp.asarray(arr[None] if arr.ndim == 2
+                       else np.transpose(arr, (2, 0, 1)))
+
+
+def _read_preview_surface(stage, mat_path, shader, params, base_dir, time):
+    """Reads a pxr-layout UsdPreviewSurface Shader prim (the default
+    MaterialManager reader; reference ``io/materials.py:98-240``)."""
+    from .materials import PBRMaterial
+    kwargs = {}
+    for usd_name, (val_field, tex_field) in _PREVIEW_SURFACE_INPUTS.items():
+        conn = params.get(f'inputs:{usd_name}.connect')
+        if conn is not None and tex_field is not None:
+            # resolve the connected UsdUVTexture's file asset; the
+            # connect target's output ('outputs:r'/'g'/'b') selects a
+            # single channel, 'outputs:rgb' keeps all three
+            parts = str(conn).split('.')
+            tex_prim = stage.get_prim(parts[0])
+            if tex_prim is not None:
+                fattr = tex_prim.attrs.get('inputs:file')
+                if fattr is not None:
+                    tex = _load_texture(base_dir, str(fattr[1]))
+                    out = parts[-1].split(':')[-1] if len(parts) > 1 else ''
+                    if out in ('r', 'g', 'b') and tex.shape[0] >= 3:
+                        c = 'rgb'.index(out)
+                        tex = tex[c:c + 1]
+                    kwargs[tex_field] = tex
+            continue
+        if val_field is None:
+            continue
+        attr = params.get(f'inputs:{usd_name}')
+        if attr is not None:
+            v = np.asarray(attr).reshape(-1)
+            if v.size == 0:
+                continue
+            kwargs[val_field] = tuple(v.tolist()) if v.size > 1 \
+                else float(v[0])
+    spec = bool(params.get('inputs:useSpecularWorkflow', 0))
+    name = mat_path.strip('/').split('/')[-1]
+    return PBRMaterial(name=name, is_specular_workflow=spec, **kwargs)
+
+
+def _import_pxr_material(stage, scene_path, prim, time=None):
+    """Imports a ``Material`` prim with a nested Shader (pxr layout),
+    dispatching on the shader's ``info:id`` via the MaterialManager
+    registry (UsdPreviewSurface built in)."""
+    from .materials import MaterialManager, MaterialNotSupportedError
+    base_dir = os.path.dirname(str(stage.file_path))
+    for child_name, shader in prim.children.items():
+        if shader.type_name != 'Shader':
+            continue
+        info_id = str(shader.attrs.get('info:id', (None, ''))[1])
+        if not info_id or info_id == 'UsdUVTexture':
+            continue
+        params = {k: v for k, (_, v) in shader.attrs.items()}
+        if info_id == 'UsdPreviewSurface':
+            return _read_preview_surface(stage, scene_path, shader,
+                                         params, base_dir, time)
+        reader = MaterialManager.get_usd_reader(info_id)
+        if reader is not None:
+            return reader(params, base_dir, time)
+        raise MaterialNotSupportedError(
+            f'no reader registered for shader {info_id!r} at '
+            f'{scene_path}')
+    raise ValueError(f'no surface Shader child under {scene_path}')
+
+
+def import_material(file_path, scene_path, time=None):
+    """Reads a material: either this module's flat Shader layout
+    (:func:`add_material`) or a pxr ``Material``/``Shader`` tree with
+    UsdPreviewSurface + UsdUVTexture prims (shader readers pluggable
+    via ``kaolin_tpu.io.materials.MaterialManager``)."""
     from PIL import Image
     from .materials import PBRMaterial, _VALUE_FIELDS, _TEXTURE_FIELDS
     stage = _open(file_path)
@@ -776,6 +875,9 @@ def import_material(file_path, scene_path):
     prim = stage.get_prim(scene_path)
     if prim is None:
         raise ValueError(f'prim {scene_path} not found')
+    if prim.type_name == 'Material' or (
+            prim.children and 'info:id' not in prim.attrs):
+        return _import_pxr_material(stage, scene_path, prim, time)
     kwargs = {}
     for field in _VALUE_FIELDS:
         if field in prim.attrs:

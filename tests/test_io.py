@@ -303,3 +303,44 @@ def test_import_hetero_usd_fixture_with_handler():
     expected_tris = int(np.sum(prim_counts - 2))
     assert out.faces.shape == (expected_tris, 3)
     assert int(out.faces.max()) < out.vertices.shape[0]
+
+
+@pytest.mark.skipif(not _have_ref, reason='reference fixtures unavailable')
+def test_import_pxr_materials_fixture():
+    """pxr-written UsdPreviewSurface materials (values + UsdUVTexture
+    connections) import through the Material/Shader tree layout."""
+    p = os.path.join(REF_SAMPLES, 'golden', 'pbr_material_values.usda')
+    m = usd.import_material(p, '/World/Looks/Diffuse')
+    assert m.diffuse_color == (0., 1., 0.)
+    d = usd.import_material(p, '/World/Looks/Default')
+    assert d.diffuse_color == (0.5, 0.5, 0.5)
+    assert d.ior_value == 1.5 and d.clearcoat_roughness_value == 0.01
+
+    pt = os.path.join(REF_SAMPLES, 'golden', 'pbr_material_textures.usda')
+    mt = usd.import_material(pt, '/World/Looks/Diffuse')
+    assert mt.diffuse_texture.shape == (3, 256, 256)
+    mr = usd.import_material(pt, '/World/Looks/Roughness')
+    assert mr.roughness_texture.shape == (1, 256, 256)  # outputs:r
+
+
+def test_material_manager_dispatches_unknown_shader(tmp_path):
+    from kaolin_tpu.io.materials import (MaterialManager,
+                                         MaterialNotSupportedError)
+    p = str(tmp_path / 'custom.usda')
+    st = usd.create_stage(p)
+    mat = st.define_prim('/World/Looks/X', 'Material')
+    sh = st.define_prim('/World/Looks/X/Shader', 'Shader')
+    sh.attrs['info:id'] = ('token', 'MyCustomPBR')
+    sh.attrs['inputs:foo'] = ('float', 7.0)
+    st.save()
+    with pytest.raises(MaterialNotSupportedError):
+        usd.import_material(p, '/World/Looks/X')
+    seen = {}
+
+    def reader(params, tex_dir, time):
+        seen['params'] = params
+        return 'custom-material'
+    MaterialManager.register_usd_reader('MyCustomPBR', reader)
+    out = usd.import_material(p, '/World/Looks/X')
+    assert out == 'custom-material'
+    assert seen['params']['inputs:foo'] == 7.0
