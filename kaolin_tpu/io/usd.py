@@ -197,7 +197,9 @@ class Stage:
         def parse_value(usd_type, raw):
             raw = raw.strip().rstrip(',')
             if usd_type == 'rel' or raw.startswith('<'):
-                return raw.strip().strip('<>')      # prim-path targets
+                # prim-path target, possibly with trailing metadata
+                # parens: `rel material:binding = </path> (`
+                return raw.split('>')[0].strip().lstrip('<')
             if usd_type == 'asset':
                 return raw.strip('@')
             if usd_type in ('string', 'token'):
@@ -251,12 +253,23 @@ class Stage:
             am = attr_re.match(line)
             if am and len(stack) > 1 and 'def ' not in line:
                 usd_type, name, raw = am.groups()
+                # attribute metadata block `= value (\n customData...\n)`
+                # — strip the open paren and skip to its matching close
+                # (nested dict braces inside must not pop the prim stack)
+                meta = raw.rstrip().endswith('(') and '<' not in raw
+                if meta:
+                    raw = raw.rstrip()[:-1].rstrip()
                 if usd_type not in ('def',):
                     try:
                         stack[-1].attrs[name] = (usd_type,
                                                  parse_value(usd_type, raw))
                     except (ValueError, IndexError):
                         pass
+                if meta or (raw.startswith('<') and '(' in raw):
+                    depth = 1
+                    while depth > 0 and i + 1 < len(tokens):
+                        i += 1
+                        depth += tokens[i].count('(') - tokens[i].count(')')
                 i += 1
                 continue
             if line.strip() == '}' and len(stack) > 1:
@@ -466,9 +479,14 @@ def import_mesh(file_path_or_stage, scene_path=None, with_materials=False,
     materials = None
     if with_materials:
         materials = []
-        binding = prim.attrs.get('material:binding', (None, None))[1]
-        if isinstance(binding, str) and binding:
-            materials.append(import_material(stage, binding))
+        bindings = [prim.attrs.get('material:binding', (None, None))[1]]
+        # per-face material subsets (pxr GeomSubset children)
+        bindings += [child.attrs.get('material:binding', (None, None))[1]
+                     for child in prim.children.values()
+                     if child.type_name == 'GeomSubset']
+        for binding in bindings:
+            if isinstance(binding, str) and binding:
+                materials.append(import_material(stage, binding))
     return mesh_return_type(vertices, faces, uvs_out, face_uvs_idx,
                             face_normals, materials)
 

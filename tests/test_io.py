@@ -344,3 +344,24 @@ def test_material_manager_dispatches_unknown_shader(tmp_path):
     out = usd.import_material(p, '/World/Looks/X')
     assert out == 'custom-material'
     assert seen['params']['inputs:foo'] == 7.0
+
+
+@pytest.mark.skipif(not _have_ref, reason='reference fixtures unavailable')
+def test_import_subsets_materials_fixture():
+    """rocket_hetero_subsets_materials.usd: mesh-level binding plus two
+    GeomSubset bindings import as three materials (pxr metadata parens
+    around attributes must not derail the prim tree)."""
+    path = os.path.join(REF_SAMPLES, 'rocket_hetero_subsets_materials.usd')
+    st = usd.Stage.load(path)
+    paths = {p for p, _ in st.walk()}
+    assert '/Root/Looks/PreviewSurfaceTexture' in paths
+    out = usd.import_mesh(
+        path, with_materials=True,
+        heterogeneous_mesh_handler=
+        io_utils.heterogeneous_mesh_handler_naive_homogenize)
+    assert out.faces.shape[1] == 3 and out.faces.shape[0] > 800
+    assert len(out.materials) == 3
+    # the mesh-level binding is the textured preview surface
+    assert out.materials[0].diffuse_texture is not None
+    # the subset materials carry plain colors
+    assert out.materials[1].diffuse_color == (1., 0., 0.)
