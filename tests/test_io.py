@@ -365,3 +365,17 @@ def test_import_subsets_materials_fixture():
     assert out.materials[0].diffuse_texture is not None
     # the subset materials carry plain colors
     assert out.materials[1].diffuse_color == (1., 0., 0.)
+
+
+@pytest.mark.skipif(not _have_ref, reason='reference fixtures unavailable')
+def test_stage_load_parses_every_reference_usd():
+    """Every USD file the reference ships (usda text + usdc binary,
+    pxr-written) parses into a non-trivial prim tree without errors."""
+    count = 0
+    for dirpath, _, files in os.walk(REF_SAMPLES):
+        for f in files:
+            if f.endswith(('.usd', '.usda', '.usdc')):
+                st = usd.Stage.load(os.path.join(dirpath, f))
+                assert sum(1 for _ in st.walk()) >= 1
+                count += 1
+    assert count >= 20
