@@ -450,3 +450,56 @@ def fit_fish(data, hyper, fin_z_scales=None):
         history.append(('texture', float(loss)))
 
     return body, fins, texture, history
+
+
+if __name__ == '__main__':
+    # synthetic self-fit demo: render a ground-truth fish's masks, then
+    # fit fresh parameters to them (see tests/test_fish.py for the
+    # asserted version)
+    import argparse
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument('--res', type=int, default=128)
+    ap.add_argument('--epochs', type=int, default=100)
+    args = ap.parse_args()
+
+    lod_x, lod_y = 16, 8
+    meta = {'cam_elev': 90., 'cam_azim': 0., 'cam_radius': 3.,
+            'cam_look_at_height': 0., 'cam_fovyangle': 50.,
+            'sigmainv': 7000}
+    faces_np, _, _ = card_topology(lod_x, lod_y)
+    faces = jnp.asarray(faces_np)
+    gt_body = make_body_params(4, init_height=0.45)
+    gt_body['origin_xy'] = jnp.asarray([-0.7, 0.1])
+    gt_body['length_x'] = jnp.asarray(1.4)
+    bv = fish_body_vertices(gt_body, lod_x, lod_y)
+    body_soft, _ = _render_soft_mask(bv, faces, meta, args.res, args.res)
+    gt_fin = make_fin_params(4, start_uv=(0.3, 1.), end_uv=(0.7, 1.),
+                             init_height=0.35)
+    fv = fish_fin_vertices(gt_fin, bv, (lod_x, lod_y), lod_x, lod_y)
+    fin_soft, _ = _render_soft_mask(fv, faces, meta, args.res, args.res)
+    start, end = _body_endpoints(gt_body)
+    anchors = jnp.stack([gt_fin['start_uv'], gt_fin['end_uv']])
+    data = {
+        'rgb': np.tile(np.asarray(body_soft[0])[..., None], (1, 1, 3)) * .5,
+        'body_mask': np.asarray(body_soft[0]),
+        'dorsal_fin_mask': np.asarray(fin_soft[0]),
+        'root_segmentation': {
+            'body_mask': np.asarray(_project_points(
+                jnp.stack([start, end]), meta)),
+            'dorsal_fin_mask': np.asarray(_project_points(
+                position_by_uv(bv, lod_x, lod_y, anchors), meta))},
+        'metadata': meta,
+    }
+    hyper = {'lod_x': lod_x, 'lod_y': lod_y, 'key_size': 4,
+             'init_height': 0.3, 'fin_list': ['dorsal_fin'],
+             'alpha_weight': 200., 'negative_ys_weight': 0.9,
+             'root_pos_weight': 100., 'fin_uv_bound_weight': 100.,
+             'image_weight': 1., 'texture_res': 64,
+             'body_epochs': args.epochs, 'fin_epochs': args.epochs // 2,
+             'texture_epochs': 20, 'body_lr': 2e-2, 'fin_lr': 2e-2,
+             'texture_lr': 0.1}
+    body, fins, texture, history = fit_fish(data, hyper)
+    for stage in ('body', 'dorsal_fin', 'texture'):
+        losses = [l for s, l in history if s == stage]
+        print(f'{stage}: {losses[0]:.4f} -> {losses[-1]:.4f} '
+              f'({len(losses)} steps)')
