@@ -65,12 +65,8 @@ def create_server(logdir, port):
 
     class IndexHandler(tornado.web.RequestHandler):
         def get(self):
-            maxviews = get_max_viewports(
-                {'maxviews': self.get_argument('maxviews', None)})
             with open(_HTML_PATH, 'r', encoding='utf-8') as f:
-                page = f.read().replace('data-maxviews="3"',
-                                        f'data-maxviews="{maxviews}"')
-            self.write(page)
+                self.write(f.read())
 
     class GeometryWS(tornado.websocket.WebSocketHandler):
         def on_message(self, message):
@@ -120,7 +116,9 @@ if __name__ == '__main__':
 
 def get_max_viewports(urlargs):
     """Clamped ``maxviews`` URL argument (reference
-    ``dash3d/run.py:32``): default 3, bounded to [1, 8]."""
+    ``dash3d/run.py:32``): default 3, bounded to [1, 8]. API-parity
+    helper — this port's simplified single-viewport viewer does not
+    consume it."""
     try:
         return max(1, min(8, int(urlargs.get('maxviews', 3))))
     except (TypeError, ValueError):

@@ -255,21 +255,27 @@ class Stage:
                 usd_type, name, raw = am.groups()
                 # attribute metadata block `= value (\n customData...\n)`
                 # — strip the open paren and skip to its matching close
-                # (nested dict braces inside must not pop the prim stack)
+                # (nested dict braces inside must not pop the prim
+                # stack). Only skip when the parens are UNBALANCED on
+                # the attr line itself: single-line metadata like
+                # `rel x = </p> (bindMaterialAs = "weaker")` is already
+                # closed and must not swallow the rest of the file.
                 meta = raw.rstrip().endswith('(') and '<' not in raw
                 if meta:
                     raw = raw.rstrip()[:-1].rstrip()
+                open_parens = (1 if meta
+                               else raw.count('(') - raw.count(')')
+                               if raw.startswith('<') else 0)
                 if usd_type not in ('def',):
                     try:
                         stack[-1].attrs[name] = (usd_type,
                                                  parse_value(usd_type, raw))
                     except (ValueError, IndexError):
                         pass
-                if meta or (raw.startswith('<') and '(' in raw):
-                    depth = 1
-                    while depth > 0 and i + 1 < len(tokens):
-                        i += 1
-                        depth += tokens[i].count('(') - tokens[i].count(')')
+                depth = open_parens
+                while depth > 0 and i + 1 < len(tokens):
+                    i += 1
+                    depth += tokens[i].count('(') - tokens[i].count(')')
                 i += 1
                 continue
             if line.strip() == '}' and len(stack) > 1:
@@ -445,9 +451,29 @@ def import_mesh(file_path_or_stage, scene_path=None, with_materials=False,
     if indices is not None and counts is not None and len(counts):
         counts_np = np.asarray(counts, np.int64)
         flat = np.asarray(indices, np.int64)
-        flat_uv = None if st_idx is None else np.asarray(st_idx, np.int64)
-        flat_nrm = None if normals is None else \
-            np.arange(len(flat), dtype=np.int64)   # faceVarying order
+        num_verts = 0 if pts is None else len(np.asarray(pts))
+
+        def _primvar_indices(explicit, num_values):
+            """Flat per-face-vertex indices for a primvar, dispatching
+            on interpolation by size (the metadata that would name it
+            is not retained): explicit :indices win; faceVarying
+            (one value per face-vertex) is an implicit arange; vertex
+            interpolation (one value per mesh vertex) reuses the face
+            vertex indices."""
+            if explicit is not None:
+                return np.asarray(explicit, np.int64)
+            if num_values == len(flat):
+                return np.arange(len(flat), dtype=np.int64)
+            if num_values == num_verts and num_verts:
+                return flat.copy()
+            return None
+
+        flat_uv = _primvar_indices(
+            st_idx, 0 if uvs is None else len(np.asarray(uvs))) \
+            if uvs is not None else None
+        flat_nrm = _primvar_indices(
+            None, 0 if normals is None else len(np.asarray(normals))) \
+            if normals is not None else None
         if np.any(counts_np != counts_np[0]):
             if heterogeneous_mesh_handler is None:
                 raise io_utils.NonHomogeneousMeshError(
@@ -886,7 +912,6 @@ def import_material(file_path, scene_path, time=None):
     (:func:`add_material`) or a pxr ``Material``/``Shader`` tree with
     UsdPreviewSurface + UsdUVTexture prims (shader readers pluggable
     via ``kaolin_tpu.io.materials.MaterialManager``)."""
-    from PIL import Image
     from .materials import PBRMaterial, _VALUE_FIELDS, _TEXTURE_FIELDS
     stage = _open(file_path)
     file_path = str(stage.file_path)
@@ -906,13 +931,7 @@ def import_material(file_path, scene_path, time=None):
     for field in _TEXTURE_FIELDS:
         key = f'{field}_file'
         if key in prim.attrs:
-            rel = prim.attrs[key][1]
-            img = Image.open(os.path.join(os.path.dirname(file_path), rel))
-            arr = np.asarray(img).astype(np.float32) / 255.
-            if arr.ndim == 2:
-                arr = arr[None]
-            else:
-                arr = np.transpose(arr, (2, 0, 1))
-            kwargs[field] = jnp.asarray(arr)
+            kwargs[field] = _load_texture(os.path.dirname(file_path),
+                                          prim.attrs[key][1])
     name = scene_path.strip('/').split('/')[-1]
     return PBRMaterial(name=name, is_specular_workflow=spec, **kwargs)

@@ -210,3 +210,57 @@ def test_register_backend_rejects_partial():
         register_backend('broken_test', params_from_mat=lambda m: m)
     with pytest.raises(ValueError):
         register_backend('broken_test2', mat_from_params=lambda p: p)
+
+
+def test_usda_single_line_rel_metadata_does_not_truncate(tmp_path):
+    """A balanced-paren rel metadata line must not swallow the file
+    (review-confirmed parser bug)."""
+    p = str(tmp_path / 'bal.usda')
+    with open(p, 'w') as f:
+        f.write('#usda 1.0\n(\n    upAxis = "Y"\n)\n'
+                'def Xform "Root"\n{\n'
+                '    def Mesh "m"\n    {\n'
+                '        rel material:binding = </Root/Looks/M> '
+                '(bindMaterialAs = "weakerThanDescendants")\n'
+                '        point3f[] points = [(0, 0, 0), (1, 0, 0), '
+                '(0, 1, 0)]\n'
+                '        int[] faceVertexCounts = [3]\n'
+                '        int[] faceVertexIndices = [0, 1, 2]\n'
+                '    }\n'
+                '    def Scope "Looks"\n    {\n'
+                '        def Material "M"\n        {\n        }\n'
+                '    }\n'
+                '}\n')
+    st = kal.io.usd.Stage.load(p)
+    paths = {pp for pp, _ in st.walk()}
+    assert '/Root/Looks/M' in paths
+    out = kal.io.usd.import_mesh(p, '/Root/m')
+    assert out.faces.shape == (1, 3)
+    assert st.get_prim('/Root/m').attrs['material:binding'][1] \
+        == '/Root/Looks/M'
+
+
+def test_usd_vertex_interpolated_normals_and_implicit_uvs(tmp_path):
+    """Vertex-interpolated normals (one per mesh vertex) and
+    faceVarying uvs with no :indices dispatch by size instead of
+    crashing or returning None (review-confirmed)."""
+    p = str(tmp_path / 'vtx.usda')
+    st = kal.io.usd.create_stage(p)
+    prim = st.define_prim('/World/m', 'Mesh')
+    verts = np.random.rand(4, 3).astype(np.float32)
+    prim.attrs['points'] = ('point3f[]', verts)
+    prim.attrs['faceVertexCounts'] = ('int[]', np.asarray([3, 3]))
+    flat = np.asarray([0, 1, 2, 1, 3, 2])
+    prim.attrs['faceVertexIndices'] = ('int[]', flat)
+    vert_normals = np.random.rand(4, 3).astype(np.float32)   # per VERTEX
+    prim.attrs['normals'] = ('normal3f[]', vert_normals)
+    fv_uvs = np.random.rand(6, 2).astype(np.float32)         # faceVarying
+    prim.attrs['primvars:st'] = ('texCoord2f[]', fv_uvs)
+    st.save()
+    out = kal.io.usd.import_mesh(p, '/World/m', with_normals=True)
+    np.testing.assert_allclose(np.asarray(out.face_normals),
+                               vert_normals[flat].reshape(2, 3, 3),
+                               rtol=1e-6)
+    # faceVarying st without :indices -> implicit arange indices
+    np.testing.assert_array_equal(np.asarray(out.face_uvs_idx),
+                                  np.arange(6).reshape(2, 3))
