@@ -379,3 +379,40 @@ def test_stage_load_parses_every_reference_usd():
                 assert sum(1 for _ in st.walk()) >= 1
                 count += 1
     assert count >= 20
+
+
+@pytest.mark.skipif(not _have_ref, reason='reference fixtures unavailable')
+def test_simple_obj_off_fixtures_match_reference_expectations():
+    """The reference's own simple_obj/simple_off fixtures and the
+    EXPECTED values from its tests (test_obj.py:59-170): quad faces,
+    'map_Ks .' error handling, heterogeneous fan order,
+    materials_order, comment-laden OFF with missing edge count."""
+    import warnings
+    d = os.path.join(REF_SAMPLES, 'simple_obj')
+    # default handler raises on the unloadable 'map_Ks .' texture
+    with pytest.raises(Exception):
+        obj.import_mesh(os.path.join(d, 'model.obj'), with_materials=True)
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore')
+        m = obj.import_mesh(os.path.join(d, 'model.obj'),
+                            with_materials=True, with_normals=True,
+                            error_handler=obj.skip_error_handler)
+    assert np.asarray(m.faces).shape == (2, 4)          # uniform quads
+    np.testing.assert_array_equal(np.asarray(m.materials_order),
+                                  [[0, 0], [1, 1], [2, 2]])
+    mh = obj.import_mesh(
+        os.path.join(d, 'model_heterogeneous.obj'), with_materials=True,
+        with_normals=True, error_handler=obj.skip_error_handler,
+        heterogeneous_mesh_handler=
+        io_utils.heterogeneous_mesh_handler_naive_homogenize)
+    # the reference's expected_faces_heterogeneous (test_obj.py:59)
+    np.testing.assert_array_equal(np.asarray(mh.faces),
+                                  [[0, 1, 3], [0, 3, 2], [1, 0, 4]])
+
+    o = off.import_mesh(os.path.join(REF_SAMPLES, 'simple_off/model.off'),
+                        with_face_colors=True)
+    assert o.vertices.shape == (6, 3)
+    np.testing.assert_array_equal(np.asarray(o.faces),
+                                  [[1, 2, 4, 3], [2, 1, 5, 6]])
+    np.testing.assert_array_equal(np.asarray(o.face_colors),
+                                  [[128, 128, 128], [0, 0, 255]])
