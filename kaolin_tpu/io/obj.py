@@ -53,6 +53,14 @@ def _flatten(feature):
     return [item for sublist in feature for item in sublist]
 
 
+def _corner_fields(corner):
+    """Splits one face-corner token ``v[/vt[/vn]]`` into its three
+    index fields ('' where absent)."""
+    v, _, rest = corner.partition('/')
+    vt, _, vn = rest.partition('/')
+    return v, vt, vn
+
+
 def import_mesh(path, with_materials=False, with_normals=False,
                 error_handler=None, heterogeneous_mesh_handler=None):
     r"""Loads an .obj file as a single mesh.
@@ -80,45 +88,60 @@ def import_mesh(path, with_materials=False, with_normals=False,
             v, f, _ = fast
             return return_type(jnp.asarray(v), jnp.asarray(f), None, None,
                                None, None, None, None)
-    vertices, faces, uvs = [], [], []
-    face_uvs_idx, vertex_normals, face_normals = [], [], []
-    materials_order = []
-    materials_dict = {}
-    materials_idx = {}
-
-    with open(path, 'r', encoding='utf-8') as f:
-        for line in f:
-            data = line.split()
-            if len(data) == 0:
+    # Phase 1: bucket raw record payloads by tag (no per-line conversion).
+    vertices, uvs, vertex_normals = [], [], []
+    corner_rows = []      # one entry per 'f' record: its corner tokens
+    mtl_events = []       # (#faces seen so far, material name) per 'usemtl'
+    mtl_libs = []
+    with open(path, 'r', encoding='utf-8') as stream:
+        for raw in stream:
+            tokens = raw.split()
+            if not tokens:
                 continue
-            if data[0] == 'v':
-                vertices.append(data[1:4])
-            elif with_materials and data[0] == 'vt':
-                uvs.append(data[1:3])
-            elif with_normals and data[0] == 'vn':
-                vertex_normals.append(data[1:])
-            elif data[0] == 'f':
-                data = [da.split('/') for da in data[1:]]
-                faces.append([int(d[0]) for d in data])
-                if with_materials:
-                    if len(data[1]) > 1 and data[1][1] != '':
-                        face_uvs_idx.append([int(d[1]) for d in data])
-                    else:
-                        face_uvs_idx.append([0] * len(data))
-                if with_normals:
-                    if len(data[1]) > 2:
-                        face_normals.append([int(d[2]) for d in data])
-                    else:
-                        face_normals.append([0] * len(data))
-            elif with_materials and data[0] == 'usemtl':
-                material_name = data[1]
-                if material_name not in materials_idx:
-                    materials_idx[material_name] = len(materials_idx)
-                materials_order.append([materials_idx[material_name],
-                                        len(face_uvs_idx)])
-            elif with_materials and data[0] == 'mtllib':
-                mtl_path = os.path.join(os.path.dirname(path), data[1])
-                materials_dict.update(load_mtl(mtl_path, error_handler))
+            tag = tokens[0]
+            if tag == 'f':
+                corner_rows.append(tokens[1:])
+            elif tag == 'v':
+                vertices.append(tokens[1:4])
+            elif with_materials and tag == 'vt':
+                uvs.append(tokens[1:3])
+            elif with_normals and tag == 'vn':
+                vertex_normals.append(tokens[1:])
+            elif with_materials and tag == 'usemtl':
+                mtl_events.append((len(corner_rows), tokens[1]))
+            elif with_materials and tag == 'mtllib':
+                mtl_libs.append(tokens[1])
+
+    # Phase 2: bulk-convert the face corner tokens into index columns.
+    # A corner is 'v', 'v/vt', 'v//vn' or 'v/vt/vn'; the presence of the
+    # uv / normal column is decided per face from its second corner (the
+    # reference convention, kaolin/io/obj.py:129-160 — behavior match only).
+    faces, face_uvs_idx, face_normals = [], [], []
+    for corners in corner_rows:
+        v_col, uv_col, n_col = zip(*(_corner_fields(c) for c in corners))
+        faces.append([int(s) for s in v_col])
+        probe = corners[1] if len(corners) > 1 else corners[0]
+        if with_materials:
+            if _corner_fields(probe)[1]:
+                face_uvs_idx.append([int(s) for s in uv_col])
+            else:
+                face_uvs_idx.append([0] * len(corners))
+        if with_normals:
+            if probe.count('/') >= 2:
+                face_normals.append([int(s) for s in n_col])
+            else:
+                face_normals.append([0] * len(corners))
+
+    # Resolve material names: first-seen order defines the index space.
+    materials_dict = {}
+    for libname in mtl_libs:
+        mtl_path = os.path.join(os.path.dirname(path), libname)
+        materials_dict.update(load_mtl(mtl_path, error_handler))
+    materials_idx = {}
+    materials_order = []
+    for face_pos, name in mtl_events:
+        slot = materials_idx.setdefault(name, len(materials_idx))
+        materials_order.append([slot, face_pos])
 
     materials = [{} for _ in materials_idx]
     for material_name, idx in materials_idx.items():
