@@ -28,15 +28,28 @@ def main():
     p.add_argument('--iters', type=int, default=5)
     p.add_argument('--force-cpu', action='store_true', default=None,
                    help='use virtual CPU devices even if a TPU is present')
+    p.add_argument('--multihost', action='store_true',
+                   help='initialize the JAX multi-process runtime '
+                        '(env: JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES, '
+                        'JAX_PROCESS_ID) and bench over the global mesh; '
+                        'works single-process as a no-op')
     args = p.parse_args()
 
+    if args.multihost:
+        args.force_cpu = False
+
     # env must be set BEFORE jax initializes
-    if args.force_cpu or args.force_cpu is None:
+    if args.force_cpu or (args.force_cpu is None and not args.multihost):
         os.environ['XLA_FLAGS'] = (
             os.environ.get('XLA_FLAGS', '')
             + f' --xla_force_host_platform_device_count={args.devices}')
     import jax
-    if args.force_cpu or args.force_cpu is None:
+    if args.multihost:
+        from kaolin_tpu.parallel import init_distributed
+        proc_id, proc_count = init_distributed()
+        print(f'# multihost: process {proc_id}/{proc_count}, '
+              f'{jax.device_count()} global devices', file=sys.stderr)
+    elif args.force_cpu or args.force_cpu is None:
         jax.config.update('jax_platforms', 'cpu')
 
     import jax.numpy as jnp
@@ -51,8 +64,15 @@ def main():
     results = []
     base = None
     counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_total]
+    if args.multihost and jax.process_count() > 1:
+        # Global mesh only: per-count subsets would split processes
+        # unevenly. data rides DCN (across hosts), pix rides ICI.
+        counts = [n_total]
     for n in counts:
-        mesh = make_mesh(data=1, pix=n, devices=jax.devices()[:n])
+        if args.multihost and jax.process_count() > 1:
+            mesh = make_mesh()
+        else:
+            mesh = make_mesh(data=1, pix=n, devices=jax.devices()[:n])
         verts, faces, cam_rot, cam_trans, cam_proj = _scene(1, 2,
                                                             jnp.float32)
 
@@ -93,7 +113,8 @@ def main():
         else:
             rec['efficiency_vs_1'] = round(mpix / (base * n), 3)
         results.append(rec)
-        print(json.dumps(rec))
+        if jax.process_index() == 0:
+            print(json.dumps(rec))
     return results
 
 

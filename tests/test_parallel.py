@@ -159,3 +159,39 @@ def test_sharded_metrics_match_single_device():
     for a, b in zip(g_sh, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_init_distributed_single_process_noop():
+    from kaolin_tpu.parallel import init_distributed, is_distributed
+    pid, pcount = init_distributed()
+    assert (pid, pcount) == (0, 1)
+    assert not is_distributed()
+    # idempotent
+    assert init_distributed() == (0, 1)
+
+
+def test_make_mesh_multiprocess_layout():
+    """Simulated multi-host layout: 'pix' rows must stay within one
+    process (ICI), 'data' crosses processes (DCN)."""
+    from kaolin_tpu.parallel.mesh import make_mesh
+
+    class FakeDev:
+        def __init__(self, i, proc):
+            self.id = i
+            self.process_index = proc
+        def __repr__(self):
+            return f'd{self.id}p{self.process_index}'
+
+    devs = [FakeDev(i, i // 4) for i in range(8)]  # 2 procs x 4 devices
+    mesh = make_mesh(devices=devs)
+    assert mesh.devices.shape == (2, 4)  # data=procs, pix=local
+    for row in mesh.devices:
+        assert len({d.process_index for d in row}) == 1
+    # explicit pix that would cross hosts is rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        make_mesh(data=1, pix=8, devices=devs)
+    # shuffled input still lands process-major
+    mesh2 = make_mesh(data=4, pix=2, devices=devs[::-1])
+    for row in mesh2.devices:
+        assert len({d.process_index for d in row}) == 1
