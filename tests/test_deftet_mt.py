@@ -177,3 +177,26 @@ def test_marching_tetrahedra_grad():
         np.testing.assert_allclose(float(np.asarray(g)[k]),
                                    (float(fp) - float(fm)) / (2 * eps),
                                    rtol=1e-5, atol=1e-9)
+
+
+def test_deftet_pallas_topk_matches_xla():
+    """The Pallas k-buffer selection (interpret mode on CPU) equals the
+    XLA lax.top_k path bit-for-bit, ties included."""
+    from kaolin_tpu.render.mesh.deftet import _select_topk
+    rng = np.random.default_rng(7)
+    B, P, F, K = 1, 200, 96, 17
+    pc = jnp.asarray(rng.uniform(-1, 1, (B, P, 2)), jnp.float32)
+    rr = jnp.stack([jnp.full((B, P), -1e6), jnp.zeros((B, P))],
+                   -1).astype(jnp.float32)
+    fvi = jnp.asarray(rng.uniform(-1, 1, (B, F, 3, 2)) * 0.5
+                      + rng.uniform(-0.6, 0.6, (B, F, 1, 2)), jnp.float32)
+    # duplicated faces -> exactly tied depths straddling the K boundary
+    fvi = jnp.concatenate([fvi[:, :F // 2]] * 2, axis=1)
+    fvz = jnp.asarray(-rng.uniform(0.5, 3.0, (B, F // 2, 3)), jnp.float32)
+    fvz = jnp.concatenate([fvz] * 2, axis=1)
+    valid = jnp.asarray(rng.random((B, F)) > 0.1)
+    ref = _select_topk(pc, rr, fvz, fvi, valid, K, 1e-8, backend='xla',
+                       tie_exact=True)
+    out = _select_topk(pc, rr, fvz, fvi, valid, K, 1e-8,
+                       backend='pallas_interpret')
+    assert np.array_equal(np.asarray(ref), np.asarray(out))

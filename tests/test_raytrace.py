@@ -192,3 +192,31 @@ def test_exponential_integration():
     np.testing.assert_allclose(np.asarray(out)[0], expected0, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(transmittance)[:3, 0], w,
                                rtol=1e-5)
+
+
+def test_raytrace_ray_fn_parity(sphere_spc):
+    """The operand-reduced ray_fn path returns the identical intersection
+    stream (set, order, indices) as the carried-operand path; depths
+    agree to ~2 ulp (FMA clustering differs between the graphs)."""
+    from kaolin_tpu.render.spc import primary_rays_fn
+    from kaolin_tpu.render.spc.raytrace import unbatched_raytrace_fixed
+    octree, ph, pyramid, exsum, level = sphere_spc
+    fn = primary_rays_fn(32, 32, jnp.asarray([0.4, 0.3, 2.5]),
+                         jnp.zeros(3), jnp.asarray([0., 1., 0.]),
+                         jnp.pi / 3)
+    o, d = fn(jnp.arange(32 * 32, dtype=jnp.int32))
+    o2, d2 = generate_primary_rays(32, 32, jnp.asarray([0.4, 0.3, 2.5]),
+                                   jnp.zeros(3), jnp.asarray([0., 1., 0.]),
+                                   jnp.pi / 3)
+    assert np.array_equal(np.asarray(o), np.asarray(o2))
+    assert np.array_equal(np.asarray(d), np.asarray(d2))
+    cap = 32 * 32 * 32
+    a = unbatched_raytrace_fixed(octree, ph, exsum, o, d, level, cap,
+                                 with_exit=True)
+    b = unbatched_raytrace_fixed(octree, ph, exsum, o, d, level, cap,
+                                 with_exit=True, ray_fn=fn)
+    assert int(a[3]) == int(b[3]) and int(a[3]) > 0
+    assert np.array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    assert np.array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    np.testing.assert_allclose(np.asarray(a[2]), np.asarray(b[2]),
+                               atol=2e-6, rtol=0)
