@@ -11,17 +11,49 @@ shard_map's transpose when used inside a differentiable pipeline.
 import functools
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
-from ..render.spc.raytrace import unbatched_raytrace_fixed
+from ..render.spc.raytrace import unbatched_raytrace_fixed, plan_raytrace
 
-__all__ = ['sharded_raytrace']
+__all__ = ['sharded_raytrace', 'plan_sharded_raytrace']
+
+
+def plan_sharded_raytrace(n_shards, octree, point_hierarchy, exsum,
+                          origin, direction, level, cap=None,
+                          margin=1.25, ray_fn=None):
+    """Per-device ``cap_schedule`` for :func:`sharded_raytrace`.
+
+    Probes each ray shard separately and takes the elementwise max of
+    the per-level nugget counts, so per-device buffers scale down with
+    the shard count instead of reusing the full-trace schedule (rays
+    cluster spatially — the max-shard counts, not counts/n, are the
+    safe per-device sizes). Returns (schedule, cap_per_device).
+    """
+    num_rays = origin.shape[0]
+    assert num_rays % n_shards == 0, (num_rays, n_shards)
+    per = num_rays // n_shards
+    scheds = []
+    for s in range(n_shards):
+        sl = slice(s * per, (s + 1) * per)
+        if ray_fn is None:
+            local_fn = None
+        else:
+            off = jnp.int32(s * per)
+
+            def local_fn(ridx, off=off):
+                return ray_fn(ridx + off)
+        scheds.append(plan_raytrace(
+            octree, point_hierarchy, exsum, origin[sl], direction[sl],
+            level, cap=cap, margin=margin, ray_fn=local_fn))
+    sched = tuple(max(col) for col in zip(*scheds))
+    return sched, max(max(sched), per)
 
 
 def sharded_raytrace(mesh, octree, point_hierarchy, exsum, origin,
                      direction, level, cap_per_device, with_exit=False,
-                     axis='pix', cap_schedule=None):
+                     axis='pix', cap_schedule=None, ray_fn=None):
     """Traces rays sharded along ``axis`` of the device mesh.
 
     Args:
@@ -35,6 +67,10 @@ def sharded_raytrace(mesh, octree, point_hierarchy, exsum, origin,
         axis (str): mesh axis to shard rays over.
         cap_schedule: optional per-level caps (see
             :func:`kaolin_tpu.render.spc.raytrace.plan_raytrace`).
+        ray_fn: optional GLOBAL-index ray closure (see
+            :func:`kaolin_tpu.render.spc.raytrace.primary_rays_fn`);
+            each shard offsets its local ray indices by
+            ``axis_index * rays_per_device`` before calling it.
 
     Returns:
         (ray_index, point_index, depth, count): per-device results
@@ -50,9 +86,17 @@ def sharded_raytrace(mesh, octree, point_hierarchy, exsum, origin,
         in_specs=(None, None, None, P(axis), P(axis)),
         out_specs=(P(axis), P(axis), P(axis), P(axis)))
     def inner(octree_, ph_, exsum_, o_, d_):
+        if ray_fn is None:
+            local_fn = None
+        else:
+            per = origin.shape[0] // n
+            off = jax.lax.axis_index(axis).astype(jnp.int32) * per
+
+            def local_fn(ridx):
+                return ray_fn(ridx + off)
         ridx, pidx, depth, count = unbatched_raytrace_fixed(
             octree_, ph_, exsum_, o_, d_, level, cap_per_device,
-            with_exit, cap_schedule=cap_schedule)
+            with_exit, cap_schedule=cap_schedule, ray_fn=local_fn)
         return ridx, pidx, depth, count[None]
 
     return inner(octree, point_hierarchy, exsum, origin, direction)

@@ -114,6 +114,60 @@ def test_sharded_raytrace_matches_single():
                                    np.asarray(ref[2])[:c, 0], rtol=1e-6)
 
 
+def test_sharded_raytrace_ray_fn_planned_caps():
+    """ray_fn recompute + plan_sharded_raytrace schedule: each shard's
+    intersection stream matches an unsharded trace of its ray slice."""
+    if jax.device_count() < 8:
+        pytest.skip('not enough devices')
+    from kaolin_tpu.ops.spc import (quantize_points,
+                                    unbatched_points_to_octree,
+                                    scan_octrees, generate_points)
+    from kaolin_tpu.render.spc import (unbatched_raytrace_fixed,
+                                       primary_rays_fn)
+    from kaolin_tpu.parallel import sharded_raytrace, make_mesh
+    from kaolin_tpu.parallel.spc import plan_sharded_raytrace
+
+    level = 5
+    rng = np.random.default_rng(1)
+    dirs = rng.normal(size=(2000, 3))
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    octree = unbatched_points_to_octree(
+        quantize_points(jnp.asarray(dirs * 0.7, jnp.float32), level), level)
+    _, pyramids, exsum = scan_octrees(octree,
+                                      np.array([len(np.asarray(octree))]))
+    ph = generate_points(octree, pyramids, exsum)
+    H = W = 16
+    ray_fn = primary_rays_fn(H, W, jnp.asarray([0., 0., 2.5]),
+                             jnp.zeros(3), jnp.asarray([0., 1., 0.]),
+                             jnp.pi / 4)
+    o, d = ray_fn(jnp.arange(H * W, dtype=jnp.int32))
+    mesh = make_mesh(data=1, pix=8)
+    sched, cap = plan_sharded_raytrace(8, octree, ph, exsum, o, d,
+                                       level, ray_fn=ray_fn)
+    ridx, pidx, depth, counts = sharded_raytrace(
+        mesh, octree, ph, exsum, o, d, level, cap,
+        cap_schedule=sched, ray_fn=ray_fn)
+    n_per = o.shape[0] // 8
+    ridx, pidx = np.asarray(ridx), np.asarray(pidx)
+    depth, counts = np.asarray(depth), np.asarray(counts)
+    for s in range(8):
+        off = jnp.int32(s * n_per)
+        ref = unbatched_raytrace_fixed(
+            octree, ph, exsum, o[s * n_per:(s + 1) * n_per],
+            d[s * n_per:(s + 1) * n_per], level, cap,
+            cap_schedule=sched,
+            ray_fn=lambda r, off=off: ray_fn(r + off))
+        c = int(counts[s])
+        assert c == int(ref[3])
+        lo = s * cap
+        np.testing.assert_array_equal(ridx[lo:lo + c],
+                                      np.asarray(ref[0])[:c])
+        np.testing.assert_array_equal(pidx[lo:lo + c],
+                                      np.asarray(ref[1])[:c])
+        np.testing.assert_allclose(depth[lo:lo + c, 0],
+                                   np.asarray(ref[2])[:c, 0], rtol=1e-6)
+
+
 def test_sharded_metrics_match_single_device():
     """Sharded chamfer / sided / point-to-mesh vs single-device, grads
     included (8 virtual CPU devices)."""
