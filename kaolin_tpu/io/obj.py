@@ -205,45 +205,67 @@ def import_mesh(path, with_materials=False, with_normals=False,
                        vertex_normals_out, face_normals_out)
 
 
-def load_mtl(mtl_path, error_handler):
-    """Loads an .mtl material file (Kd/Ka/Ks values and texture maps).
+def _mtl_texture(root_dir, args):
+    """Converter for ``map_K*`` records: texture image -> (H, W, 3) uint8."""
+    image = Image.open(os.path.join(root_dir, args[0]))
+    return jnp.asarray(np.array(image.convert('RGB')))
 
-    Reference: ``kaolin/io/obj.py:219``.
+
+def _mtl_color(root_dir, args):
+    """Converter for ``K*`` records: float triple."""
+    return jnp.asarray(np.array(args, np.float32))
+
+
+# tag -> converter; every recognized record becomes one material property.
+_MTL_RECORD_CONVERTERS = {
+    'map_Kd': _mtl_texture, 'map_Ka': _mtl_texture, 'map_Ks': _mtl_texture,
+    'Kd': _mtl_color, 'Ka': _mtl_color, 'Ks': _mtl_color,
+}
+
+
+def load_mtl(mtl_path, error_handler):
+    """Loads an .mtl material library as ``{name: {tag: jnp array}}``.
+
+    Two-phase like :func:`import_mesh`: first bucket the recognized
+    records under their owning ``newmtl`` section, then run the per-tag
+    converters (``_MTL_RECORD_CONVERTERS``) so one bad record only costs
+    one ``error_handler`` call and never corrupts the bucketing.
+
+    Behavior parity with reference ``kaolin/io/obj.py:219`` (unreadable
+    file -> MaterialFileError, per-record failure -> MaterialLoadError,
+    textures decoded to RGB).
     """
-    mtl_data = {}
     root_dir = os.path.dirname(mtl_path)
+    sections = {}            # name -> [(tag, args), ...] in file order
     try:
-        f = open(mtl_path, 'r', encoding='utf-8')
-    except Exception as e:
+        with open(mtl_path, 'r', encoding='utf-8') as stream:
+            records = [line.split() for line in stream]
+    except Exception as exc:
         error_handler(MaterialFileError(
-            f"Failed to load material at path '{mtl_path}':\n{e}"),
-            mtl_path=mtl_path, mtl_data=mtl_data)
-        return mtl_data
-    material_name = None
-    for line in f.readlines():
-        data = line.split()
-        if len(data) == 0:
+            f"Failed to load material at path '{mtl_path}':\n{exc}"),
+            mtl_path=mtl_path, mtl_data=sections)
+        return sections
+    bucket = None
+    for rec in records:
+        if not rec:
             continue
-        try:
-            if data[0] == 'newmtl':
-                material_name = data[1]
-                mtl_data[material_name] = {}
-            elif data[0] in {'map_Kd', 'map_Ka', 'map_Ks'}:
-                texture_path = os.path.join(root_dir, data[1])
-                img = Image.open(texture_path)
-                if img.mode != 'RGB':
-                    img = img.convert('RGB')
-                mtl_data[material_name][data[0]] = jnp.asarray(
-                    np.array(img))
-            elif data[0] in {'Kd', 'Ka', 'Ks'}:
-                mtl_data[material_name][data[0]] = jnp.asarray(
-                    [float(val) for val in data[1:]])
-        except Exception as e:
-            error_handler(MaterialLoadError(
-                f"Failed to load material at path '{mtl_path}':\n{e}"),
-                data=data, mtl_data=mtl_data)
-    f.close()
-    return mtl_data
+        if rec[0] == 'newmtl':
+            bucket = sections.setdefault(rec[1], [])
+        elif rec[0] in _MTL_RECORD_CONVERTERS and bucket is not None:
+            bucket.append((rec[0], rec[1:]))
+
+    materials = {}
+    for name, props in sections.items():
+        materials[name] = {}
+        for tag, args in props:
+            try:
+                materials[name][tag] = \
+                    _MTL_RECORD_CONVERTERS[tag](root_dir, args)
+            except Exception as exc:
+                error_handler(MaterialLoadError(
+                    f"Failed to load material at path '{mtl_path}':\n{exc}"),
+                    data=[tag] + list(args), mtl_data=materials)
+    return materials
 
 
 def flatten_feature(feature):

@@ -166,6 +166,7 @@ def _unbatched_marching_cubes(grid, iso_value):
         zz, yy, xx = np.meshgrid(np.arange(Z), np.arange(Y), np.arange(X),
                                  indexing='ij')
         order = mc_tables.VERTS_ORDER[ci]          # (Z, Y, X, 3)
+        fstack = np.stack(field, axis=-1)          # (Z, Y, X, 8)
         for slot in range(3):
             edge = order[..., slot]
             sel = edge != 255
@@ -173,8 +174,9 @@ def _unbatched_marching_cubes(grid, iso_value):
                 continue
             e = edge[sel]
             a, b = _MC_EDGES[e, 0], _MC_EDGES[e, 1]
-            fa = np.stack(field, axis=-1)[sel][np.arange(e.size), a]
-            fb = np.stack(field, axis=-1)[sel][np.arange(e.size), b]
+            fsel = fstack[sel]
+            fa = fsel[np.arange(e.size), a]
+            fb = fsel[np.arange(e.size), b]
             t = (iso_value - fa) / (fb - fa)
             pa = _MC_CORNERS[a].astype(np.float32)  # (n, 3) x,y,z offsets
             pb = _MC_CORNERS[b].astype(np.float32)
@@ -243,11 +245,14 @@ def voxelgrids_to_trianglemeshes(voxelgrids, iso_value=0.5, method='mc'):
             grid = np.pad(vg[b].astype(np.float32), 1)
             if not grid.any():
                 out_v.append(jnp.zeros((0, 3), jnp.float32))
-                out_f.append(jnp.zeros((0, 3), dtype=jnp.int64))
+                out_f.append(jnp.zeros((0, 3), dtype=jnp.int32))
                 continue
             verts, faces = _unbatched_marching_cubes(grid, float(iso_value))
             out_v.append(jnp.asarray(verts))
-            out_f.append(jnp.asarray(faces))
+            # faces are int32 by design (reference returns torch.long;
+            # int32 spans any realizable vertex count and avoids the
+            # silent x64-disabled downcast warning)
+            out_f.append(jnp.asarray(faces.astype(np.int32)))
         return out_v, out_f
     if method != 'tets':
         raise ValueError(f"unknown method: {method!r} (use 'mc' or 'tets')")

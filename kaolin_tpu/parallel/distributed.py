@@ -85,17 +85,27 @@ def init_distributed(coordinator_address=None, num_processes=None,
 
 
 def _cluster_autodetects():
-    """True when JAX's cluster environment auto-detection would engage
-    (Cloud TPU pod slice, SLURM, or Open MPI multi-process launches)."""
-    try:
-        from jax._src.clusters import ClusterEnv
-        return ClusterEnv.auto_detect_unset_distributed_params(
-            None, None, None, None, None, None)[0] is not None
-    except Exception:
-        # Conservative fallback: only unambiguous multi-process
-        # schedulers (TPU env vars also appear on single-chip setups).
-        return any(k in os.environ for k in
-                   ('SLURM_JOB_ID', 'OMPI_COMM_WORLD_SIZE'))
+    """True when this process is unambiguously part of a multi-process
+    launch that JAX's own auto-detection will resolve (SLURM, Open MPI,
+    or a Cloud TPU pod slice spanning multiple workers).
+
+    Deliberately uses only documented scheduler environment variables —
+    no ``jax._src`` internals — and only engages when the world size is
+    provably > 1, so a single-chip run never blocks waiting for a
+    coordinator that will never answer.
+    """
+    for var in ('SLURM_NTASKS', 'OMPI_COMM_WORLD_SIZE'):
+        raw = os.environ.get(var)
+        if raw is not None:
+            try:
+                if int(raw) > 1:
+                    return True
+            except ValueError:
+                pass
+    # Cloud TPU pod slice: the runtime exposes the per-slice worker
+    # hostnames; more than one worker means a multi-process job.
+    hostnames = os.environ.get('TPU_WORKER_HOSTNAMES', '')
+    return len([h for h in hostnames.split(',') if h.strip()]) > 1
 
 
 def is_distributed():

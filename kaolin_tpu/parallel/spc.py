@@ -80,7 +80,22 @@ def sharded_raytrace(mesh, octree, point_hierarchy, exsum, origin,
     """
     n = mesh.shape[axis]
     assert origin.shape[0] % n == 0, (origin.shape, n)
+    tracer = _sharded_tracer(mesh, level, int(cap_per_device),
+                             bool(with_exit), axis, cap_schedule, ray_fn,
+                             origin.shape[0] // n)
+    return tracer(octree, point_hierarchy, exsum, origin, direction)
 
+
+@functools.lru_cache(maxsize=64)
+def _sharded_tracer(mesh, level, cap_per_device, with_exit, axis,
+                    cap_schedule, ray_fn, rays_per_device):
+    """Builds (and caches) the jitted shard_map tracer for one config.
+
+    ``ray_fn`` is part of the jit cache key by identity; memoizing the
+    whole jitted closure here keeps repeated eager ``sharded_raytrace``
+    calls from re-tracing ``unbatched_raytrace_fixed`` through a fresh
+    per-call wrapper closure.
+    """
     @functools.partial(
         shard_map, mesh=mesh, check_vma=False,
         in_specs=(None, None, None, P(axis), P(axis)),
@@ -89,8 +104,8 @@ def sharded_raytrace(mesh, octree, point_hierarchy, exsum, origin,
         if ray_fn is None:
             local_fn = None
         else:
-            per = origin.shape[0] // n
-            off = jax.lax.axis_index(axis).astype(jnp.int32) * per
+            off = (jax.lax.axis_index(axis).astype(jnp.int32)
+                   * rays_per_device)
 
             def local_fn(ridx):
                 return ray_fn(ridx + off)
@@ -99,4 +114,4 @@ def sharded_raytrace(mesh, octree, point_hierarchy, exsum, origin,
             with_exit, cap_schedule=cap_schedule, ray_fn=local_fn)
         return ridx, pidx, depth, count[None]
 
-    return inner(octree, point_hierarchy, exsum, origin, direction)
+    return jax.jit(inner)

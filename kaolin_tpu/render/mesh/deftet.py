@@ -30,8 +30,14 @@ def _select_topk(pixel_coords, render_ranges, face_vertices_z,
     F = face_vertices_z.shape[1]
 
     if backend is None:
+        # The Pallas kernel stages the whole face table (z + image +
+        # bbox columns, ~52 B/face after f32 padding) into VMEM per grid
+        # step; beyond ~8 MB of faces that exceeds the ~16 MB VMEM
+        # budget and Mosaic refuses to compile — fall back to the
+        # chunked XLA path, which streams faces and handles any F.
+        faces_vmem_ok = F * 52 <= 8 * 1024 * 1024
         backend = ('pallas' if jax.default_backend() == 'tpu'
-                   and knum <= 64 else 'xla')
+                   and knum <= 64 and faces_vmem_ok else 'xla')
     if backend in ('pallas', 'pallas_interpret'):
         # streams face chunks through a sorted in-register k-buffer —
         # exact lax.top_k (lowest-index tie) semantics, ~5x the
