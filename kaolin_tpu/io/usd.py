@@ -779,17 +779,22 @@ def add_material(file_path, scene_path, material, texture_dir='.',
     """Writes a PBRMaterial as a Shader prim; textures as side PNGs.
 
     Reference: the pxr UsdShade export in ``io/materials.py``. Pass
-    ``bind_to`` (a mesh scene path) to author a ``material:binding``
-    rel on that prim so ``import_mesh(with_materials=True)`` finds it.
+    ``bind_to`` (a mesh scene path, or a list of them — the reference's
+    ``bound_prims``) to author a ``material:binding`` rel on those prims
+    so ``import_mesh(with_materials=True)`` finds it.
     """
     from PIL import Image
-    from .materials import _VALUE_FIELDS, _TEXTURE_FIELDS
+    from .materials import (_VALUE_FIELDS, _TEXTURE_FIELDS,
+                            _COLORSPACE_FIELDS)
     stage = _open(file_path)
     file_path = str(stage.file_path)
     prim = stage.define_prim(scene_path, 'Shader')
     if bind_to is not None:
-        mesh_prim = stage.get_prim(bind_to) or stage.define_prim(bind_to)
-        mesh_prim.attrs['material:binding'] = ('rel', scene_path)
+        targets = bind_to if isinstance(bind_to, (list, tuple)) \
+            else [bind_to]
+        for target in targets:
+            mesh_prim = stage.get_prim(target) or stage.define_prim(target)
+            mesh_prim.attrs['material:binding'] = ('rel', scene_path)
     prim.attrs['info:id'] = ('string', 'UsdPreviewSurface')
     for field in _VALUE_FIELDS:
         val = getattr(material, field)
@@ -801,14 +806,16 @@ def add_material(file_path, scene_path, material, texture_dir='.',
                                           material.is_specular_workflow)
     out_dir = os.path.join(os.path.dirname(file_path), texture_dir)
     os.makedirs(out_dir, exist_ok=True)
-    for field in _TEXTURE_FIELDS:
+    for field, cs_field in zip(_TEXTURE_FIELDS, _COLORSPACE_FIELDS):
         tex = getattr(material, field)
         if tex is None:
             continue
         arr = np.asarray(tex)
+        if field == 'normals_texture':      # stored in [-1, 1]
+            arr = arr * 0.5 + 0.5
         if arr.ndim == 3 and arr.shape[0] in (1, 3):
             arr = np.transpose(arr, (1, 2, 0))
-        if arr.shape[-1] == 1:
+        if arr.ndim == 3 and arr.shape[-1] == 1:
             arr = arr[..., 0]
         img = Image.fromarray(
             np.clip(arr * 255., 0, 255).astype(np.uint8))
@@ -816,6 +823,9 @@ def add_material(file_path, scene_path, material, texture_dir='.',
         img.save(os.path.join(out_dir, name))
         prim.attrs[f'{field}_file'] = (
             'string', os.path.join(texture_dir, name))
+        colorspace = getattr(material, cs_field, 'auto')
+        if colorspace != 'auto':
+            prim.attrs[f'{field}_colorspace'] = ('string', colorspace)
     stage.save()
     return stage
 
@@ -848,7 +858,8 @@ def _load_texture(base_dir, rel):
 def _read_preview_surface(stage, mat_path, shader, params, base_dir, time):
     """Reads a pxr-layout UsdPreviewSurface Shader prim (the default
     MaterialManager reader; reference ``io/materials.py:98-240``)."""
-    from .materials import PBRMaterial
+    from .materials import PBRMaterial, _TEXTURE_FIELDS, _COLORSPACE_FIELDS
+    cs_of = dict(zip(_TEXTURE_FIELDS, _COLORSPACE_FIELDS))
     kwargs = {}
     for usd_name, (val_field, tex_field) in _PREVIEW_SURFACE_INPUTS.items():
         conn = params.get(f'inputs:{usd_name}.connect')
@@ -866,7 +877,15 @@ def _read_preview_surface(stage, mat_path, shader, params, base_dir, time):
                     if out in ('r', 'g', 'b') and tex.shape[0] >= 3:
                         c = 'rgb'.index(out)
                         tex = tex[c:c + 1]
+                    if tex_field == 'normals_texture':
+                        tex = tex * 2. - 1.
                     kwargs[tex_field] = tex
+                    # colorspace token authored on the texture shader
+                    # (reference _add_texture_shader, materials.py:592)
+                    cs = tex_prim.attrs.get('inputs:colorspace') \
+                        or tex_prim.attrs.get('inputs:sourceColorSpace')
+                    if cs is not None:
+                        kwargs[cs_of[tex_field]] = str(cs[1])
             continue
         if val_field is None:
             continue
@@ -882,12 +901,13 @@ def _read_preview_surface(stage, mat_path, shader, params, base_dir, time):
     return PBRMaterial(name=name, is_specular_workflow=spec, **kwargs)
 
 
-def _import_pxr_material(stage, scene_path, prim, time=None):
+def _import_pxr_material(stage, scene_path, prim, time=None, base_dir=None):
     """Imports a ``Material`` prim with a nested Shader (pxr layout),
     dispatching on the shader's ``info:id`` via the MaterialManager
     registry (UsdPreviewSurface built in)."""
     from .materials import MaterialManager, MaterialNotSupportedError
-    base_dir = os.path.dirname(str(stage.file_path))
+    if base_dir is None:
+        base_dir = os.path.dirname(str(stage.file_path))
     for child_name, shader in prim.children.items():
         if shader.type_name != 'Shader':
             continue
@@ -907,20 +927,40 @@ def _import_pxr_material(stage, scene_path, prim, time=None):
     raise ValueError(f'no surface Shader child under {scene_path}')
 
 
-def import_material(file_path, scene_path, time=None):
+def import_material(file_path, scene_path, texture_path=None, time=None):
     """Reads a material: either this module's flat Shader layout
     (:func:`add_material`) or a pxr ``Material``/``Shader`` tree with
     UsdPreviewSurface + UsdUVTexture prims (shader readers pluggable
-    via ``kaolin_tpu.io.materials.MaterialManager``)."""
-    from .materials import PBRMaterial, _VALUE_FIELDS, _TEXTURE_FIELDS
+    via ``kaolin_tpu.io.materials.MaterialManager``).
+
+    Args:
+        texture_path (str, optional): directory for relative texture
+            references (default: the USD file's directory).
+    """
     stage = _open(file_path)
+    return _import_material_from_stage(stage, scene_path,
+                                       texture_path=texture_path,
+                                       time=time)
+
+
+def _import_material_from_stage(stage, scene_path, texture_path=None,
+                                time=None):
+    """Stage-level material import (``MaterialManager.read_usd_material``
+    entry — reference ``io/materials.py:176``)."""
+    from .materials import (PBRMaterial, _VALUE_FIELDS, _TEXTURE_FIELDS,
+                            _COLORSPACE_FIELDS)
     file_path = str(stage.file_path)
+    base_dir = os.path.dirname(file_path)
+    if texture_path is not None:
+        base_dir = texture_path if os.path.isabs(texture_path) \
+            else os.path.join(base_dir, texture_path)
     prim = stage.get_prim(scene_path)
     if prim is None:
         raise ValueError(f'prim {scene_path} not found')
     if prim.type_name == 'Material' or (
             prim.children and 'info:id' not in prim.attrs):
-        return _import_pxr_material(stage, scene_path, prim, time)
+        return _import_pxr_material(stage, scene_path, prim, time,
+                                    base_dir=base_dir)
     kwargs = {}
     for field in _VALUE_FIELDS:
         if field in prim.attrs:
@@ -928,10 +968,15 @@ def import_material(file_path, scene_path, time=None):
             kwargs[field] = tuple(np.asarray(v).tolist()) \
                 if prim.attrs[field][0] == 'float[]' else float(v)
     spec = bool(prim.attrs.get('is_specular_workflow', ('bool', False))[1])
-    for field in _TEXTURE_FIELDS:
+    for field, cs_field in zip(_TEXTURE_FIELDS, _COLORSPACE_FIELDS):
         key = f'{field}_file'
         if key in prim.attrs:
-            kwargs[field] = _load_texture(os.path.dirname(file_path),
-                                          prim.attrs[key][1])
+            tex = _load_texture(base_dir, prim.attrs[key][1])
+            if field == 'normals_texture':
+                tex = tex * 2. - 1.
+            kwargs[field] = tex
+            cs = prim.attrs.get(f'{field}_colorspace')
+            if cs is not None:
+                kwargs[cs_field] = str(cs[1])
     name = scene_path.strip('/').split('/')[-1]
     return PBRMaterial(name=name, is_specular_workflow=spec, **kwargs)
