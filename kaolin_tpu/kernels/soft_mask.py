@@ -17,7 +17,10 @@ reference documents as correct — knum "should be adapted to boxlen, to
 avoid missing faces", ``kaolin/render/mesh/dibr.py:101-104``), the product
 over hits is order-independent and results are identical to the reference.
 The portable XLA path (``kaolin_tpu/render/mesh/dibr.py``) keeps exact
-original-order truncation and is the golden-test reference.
+original-order truncation and is the golden-test reference; pass
+``knum_exact=True`` (or call eagerly — a host probe then detects binding
+and falls back automatically) to :func:`dibr_soft_mask` when truncation
+order must match the reference bit-for-bit.
 
 The backward accumulates per-face gradients across row bands by revisiting
 one (F, 6) output block over the sequential grid — deterministic, no

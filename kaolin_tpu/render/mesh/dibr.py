@@ -275,9 +275,37 @@ def _dibr_soft_mask_bwd(sigmainv, boxlen, knum, multiplier, total_height,
 _dibr_soft_mask.defvjp(_dibr_soft_mask_fwd, _dibr_soft_mask_bwd)
 
 
+def _knum_cannot_bind(face_vertices_image, H, W, boxlen, multiplier,
+                      knum, row_start, total_height):
+    """Conservative host-side probe: True when NO (8-row band, 128-col
+    tile) of the image intersects more than ``knum`` enlarged face
+    bboxes — then no pixel can have more than ``knum`` bbox hits and
+    the soft-mask product is truncation-order independent."""
+    import numpy as np
+    m = float(multiplier)
+    v = np.asarray(face_vertices_image) * m              # (B, F, 3, 2)
+    pmin = v.min(axis=2)
+    pmax = v.max(axis=2)
+    margin = float(boxlen) * m
+    xmin, ymin = pmin[..., 0] - margin, pmin[..., 1] - margin
+    xmax, ymax = pmax[..., 0] + margin, pmax[..., 1] + margin
+    cols = m / W * (2 * np.arange(W) + 1 - W)
+    rows = int(row_start) + np.arange(H)
+    ys = m / total_height * (total_height - 2 * rows - 1)
+    for b in range(0, H, 8):
+        band = ys[b:b + 8]
+        hit_y = (ymin <= band.max()) & (ymax > band.min())
+        for t in range(0, W, 128):
+            tile = cols[t:t + 128]
+            hit = hit_y & (xmin <= tile.max()) & (xmax > tile.min())
+            if int(hit.sum(axis=1).max()) > knum:
+                return False
+    return True
+
+
 def dibr_soft_mask(face_vertices_image, selected_face_idx, sigmainv=7000,
                    boxlen=0.02, knum=30, multiplier=1000., row_start=0,
-                   total_height=None, backend='auto'):
+                   total_height=None, backend='auto', knum_exact=False):
     r"""Soft silhouette mask for DIB-R silhouette losses.
 
     Behavior matches ``kaolin.render.mesh.dibr_soft_mask``
@@ -291,6 +319,14 @@ def dibr_soft_mask(face_vertices_image, selected_face_idx, sigmainv=7000,
         face_vertices_image: (B, F, 3, 2) image-plane verts in [-1, 1].
         selected_face_idx: (B, H, W) int, from :func:`rasterize`.
         sigmainv, boxlen, knum, multiplier: see reference docstring.
+        knum_exact (bool): when a pixel has more than ``knum`` bbox hits
+            the reference records the first ``knum`` in ORIGINAL face
+            order (``dibr_soft_mask_cuda.cu:164-171``), while the Pallas
+            kernel records the first ``knum`` in its spatially-sorted
+            scan order — identical results whenever ``knum`` does not
+            bind (the documented-correct regime), divergent otherwise.
+            Set True to force the order-exact XLA path so truncation
+            matches the reference bit-for-bit regardless of hit counts.
 
     Returns:
         (B, H, W) soft mask.
@@ -298,9 +334,21 @@ def dibr_soft_mask(face_vertices_image, selected_face_idx, sigmainv=7000,
     if total_height is None:
         total_height = selected_face_idx.shape[1]
     H, W = selected_face_idx.shape[1:]
+    if knum_exact and backend != 'xla':
+        backend = 'xla'
     if backend == 'auto':
         backend = 'pallas' if (jax.default_backend() == 'tpu'
                                and H % 8 == 0 and W % 128 == 0) else 'xla'
+        if (backend == 'pallas' and knum < face_vertices_image.shape[1]
+                and not isinstance(selected_face_idx, jax.core.Tracer)
+                and not isinstance(face_vertices_image, jax.core.Tracer)
+                and not _knum_cannot_bind(face_vertices_image, H, W,
+                                          boxlen, multiplier, knum,
+                                          row_start, total_height)):
+            # eager call where knum may bind somewhere: use the
+            # order-exact XLA path (inside jit, pass knum_exact=True
+            # for the same guarantee — tracers can't be probed)
+            backend = 'xla'
     return _dibr_soft_mask(face_vertices_image, selected_face_idx,
                            float(sigmainv), float(boxlen), int(knum),
                            float(multiplier), int(total_height), backend,
@@ -311,7 +359,7 @@ def dibr_rasterization(height, width, face_vertices_z, face_vertices_image,
                        face_features, face_normals_z, sigmainv=7000,
                        boxlen=0.02, knum=30, multiplier=None, eps=None,
                        rast_backend='auto', row_start=0, total_height=None,
-                       mask_backend='auto'):
+                       mask_backend='auto', knum_exact=False):
     r"""Full DIB-R pipeline: rasterize (with normal-z face culling) plus the
     soft silhouette mask.
 
@@ -328,5 +376,5 @@ def dibr_rasterization(height, width, face_vertices_z, face_vertices_image,
     soft_mask = dibr_soft_mask(face_vertices_image, face_idx, sigmainv,
                                boxlen, knum, _multiplier,
                                row_start=row_start, total_height=total_height,
-                               backend=mask_backend)
+                               backend=mask_backend, knum_exact=knum_exact)
     return interpolated_features, soft_mask, face_idx
