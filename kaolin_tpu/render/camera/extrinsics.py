@@ -145,11 +145,16 @@ class CameraExtrinsics:
         return cls._from_mat(mat, backend)
 
     @classmethod
-    def from_lookat(cls, eye, at, up, dtype=jnp.float32, backend=None):
+    def from_lookat(cls, eye, at, up, dtype=None, backend=None):
         """glm-compatible lookat constructor (right-handed, -z forward).
 
-        Reference: ``extrinsics.py:324``.
+        Reference: ``extrinsics.py:324``. ``dtype`` defaults to the dtype
+        of ``eye`` (float32 for non-float inputs).
         """
+        if dtype is None:
+            eye_dt = jnp.asarray(eye).dtype
+            dtype = eye_dt if jnp.issubdtype(eye_dt, jnp.floating) \
+                else jnp.float32
         eye = jnp.atleast_2d(jnp.asarray(eye, dtype).squeeze())
         at = jnp.atleast_2d(jnp.asarray(at, dtype).squeeze())
         up = jnp.atleast_2d(jnp.asarray(up, dtype).squeeze())
