@@ -91,6 +91,14 @@ def chamfer_distance(p1, p2, w1=1., w2=1., squared=True):
     """Chamfer distance between two batched pointclouds.
 
     Reference: ``kaolin/metrics/pointcloud.py:89``.
+    
+    Example:
+        >>> import numpy as np
+        >>> import jax.numpy as jnp
+        >>> p1 = jnp.asarray([[[0., 0., 0.], [1., 0., 0.]]])
+        >>> p2 = jnp.asarray([[[0., 0., 1.]]])
+        >>> print(round(float(chamfer_distance(p1, p2)[0]), 5))
+        2.5
     """
     sdist1 = sided_distance(p1, p2)[0]
     sdist2 = sided_distance(p2, p1)[0]
@@ -106,6 +114,14 @@ def f_score(gt_points, pred_points, radius=0.01, eps=1e-8):
     """F-score of two point sets with a radius hit threshold.
 
     Reference: ``kaolin/metrics/pointcloud.py:138``.
+    
+    Example:
+        >>> import numpy as np
+        >>> import jax.numpy as jnp
+        >>> gt = jnp.asarray([[[0., 0., 0.], [1., 0., 0.]]])
+        >>> pred = jnp.asarray([[[0., 0., 0.], [5., 0., 0.]]])
+        >>> print(round(float(f_score(gt, pred, radius=0.5)[0]), 5))
+        0.5
     """
     pred_distances = jnp.sqrt(sided_distance(gt_points, pred_points)[0])
     gt_distances = jnp.sqrt(sided_distance(pred_points, gt_points)[0])

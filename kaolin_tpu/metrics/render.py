@@ -16,6 +16,14 @@ def mask_iou(lhs_mask, rhs_mask):
 
     Returns:
         scalar loss.
+    
+    Example:
+        >>> import numpy as np
+        >>> import jax.numpy as jnp
+        >>> a = jnp.asarray([[[1., 1.], [0., 0.]]])
+        >>> b = jnp.asarray([[[1., 0.], [0., 0.]]])
+        >>> print(round(float(mask_iou(a, b)), 5))
+        0.5
     """
     batch_size = lhs_mask.shape[0]
     assert rhs_mask.shape == lhs_mask.shape

@@ -16,6 +16,14 @@ def iou(pred, gt):
 
     Returns:
         (batch_size,) float IoU.
+    
+    Example:
+        >>> import numpy as np
+        >>> import jax.numpy as jnp
+        >>> pred = jnp.zeros((1, 2, 2, 2)).at[0, 0].set(1.)
+        >>> gt = jnp.ones((1, 2, 2, 2))
+        >>> print(round(float(iou(pred, gt)[0]), 5))
+        0.5
     """
     if pred.shape != gt.shape:
         raise ValueError(

@@ -59,6 +59,18 @@ def list_to_packed(tensor_list):
     Returns:
         (jnp.ndarray, numpy.ndarray): packed tensor of shape
         ``(sum(prod(shape_i)), last_dim)`` and ``shape_per_tensor``.
+    
+    Example:
+        >>> import jax.numpy as jnp
+        >>> packed, spt = list_to_packed(
+        ...     [jnp.asarray([[0., 1.], [2., 3.]]), jnp.asarray([[4., 5.]])])
+        >>> print(np.asarray(packed))
+        [[0. 1.]
+         [2. 3.]
+         [4. 5.]]
+        >>> print(spt)
+        [[2]
+         [1]]
     """
     shape_per_tensor = get_shape_per_tensor(tensor_list)
     last_dim = tensor_list[0].shape[-1]
@@ -81,6 +93,10 @@ def get_first_idx(numel_per_tensor):
 
     Returns:
         numpy.ndarray of shape (batch_size + 1,): ``[0, cumsum...]``.
+    
+    Example:
+        >>> print(np.asarray(get_first_idx(np.asarray([2, 3, 1]))))
+        [0 2 5 6]
     """
     numel = np.asarray(numel_per_tensor)
     out = np.zeros((numel.shape[0] + 1,), dtype=np.int64)
@@ -134,6 +150,17 @@ def list_to_padded(tensor_list, padding_value=0., max_shape=None):
     Returns:
         (jnp.ndarray, numpy.ndarray): padded tensor of shape
         ``(batch_size, *max_shape, last_dim)`` and ``shape_per_tensor``.
+    
+    Example:
+        >>> import jax.numpy as jnp
+        >>> padded, spt = list_to_padded(
+        ...     [jnp.ones((1, 2)), jnp.ones((2, 2))], padding_value=-1.)
+        >>> print(np.asarray(padded))
+        [[[ 1.  1.]
+          [-1. -1.]]
+        <BLANKLINE>
+         [[ 1.  1.]
+          [ 1.  1.]]]
     """
     shape_per_tensor = get_shape_per_tensor(tensor_list)
     max_shape = fill_max_shape(shape_per_tensor, max_shape)
@@ -203,6 +230,13 @@ def tile_to_packed(values, numel_per_tensor):
 
     Reference: ``kaolin/ops/batch.py:144`` (CUDA kernel
     ``tile_to_packed_cuda``); here a single XLA gather.
+    
+    Example:
+        >>> import jax.numpy as jnp
+        >>> out = tile_to_packed(jnp.asarray([10., 20.]),
+        ...                      np.asarray([2, 3]))
+        >>> print(np.asarray(out)[:, 0])
+        [10. 10. 20. 20. 20.]
     """
     seg = segment_ids_from_numel(numel_per_tensor)
     return jnp.take(jnp.asarray(values), seg, axis=0)[:, None]

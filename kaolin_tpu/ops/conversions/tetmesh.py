@@ -117,6 +117,19 @@ def marching_tetrahedra(vertices, tets, sdf, return_tet_idx=False):
 
     Returns:
         (list of verts, list of faces[, list of tet_idx]) per batch item.
+    
+    Example:
+        >>> import numpy as np
+        >>> import jax.numpy as jnp
+        >>> verts = jnp.asarray([[[0., 0., 0.], [1., 0., 0.],
+        ...                       [0., 1., 0.], [0., 0., 1.]]])
+        >>> tets = jnp.asarray([[0, 1, 2, 3]])
+        >>> sdf = jnp.asarray([[-1., 1., 1., 1.]])
+        >>> v, f = marching_tetrahedra(verts, tets, sdf)
+        >>> print(np.asarray(v[0]))
+        [[0.5 0.  0. ]
+         [0.  0.5 0. ]
+         [0.  0.  0.5]]
     """
     tets_np = np.asarray(tets)
     outs = [_unbatched_mt(vertices[b], tets_np, sdf[b], return_tet_idx)

@@ -18,6 +18,16 @@ def spherical2cartesian(azimuth, elevation, distance=None):
 
     Returns:
         (x, y, z) arrays of the input shape.
+    
+    Example:
+        >>> import numpy as np
+        >>> import jax.numpy as jnp
+        >>> x, y, z = spherical2cartesian(jnp.asarray(0.),
+        ...                               jnp.asarray(0.),
+        ...                               jnp.asarray(2.))
+        >>> print(round(float(x), 5), round(float(y), 5),
+        ...       round(float(z), 5))
+        2.0 0.0 0.0
     """
     if distance is None:
         z = jnp.sin(elevation)
@@ -36,6 +46,15 @@ def cartesian2spherical(x, y, z):
 
     Reference: ``kaolin/ops/coords.py:44`` (same X-toward-camera /
     Z-up / Y-right convention as :func:`spherical2cartesian`).
+    
+    Example:
+        >>> import numpy as np
+        >>> import jax.numpy as jnp
+        >>> az, el, d = cartesian2spherical(jnp.asarray(0.),
+        ...                                 jnp.asarray(0.),
+        ...                                 jnp.asarray(3.))
+        >>> print(round(float(el), 5), round(float(d), 5))
+        1.5708 3.0
     """
     distance = jnp.sqrt(x * x + y * y + z * z)
     elevation = jnp.arcsin(z / distance)

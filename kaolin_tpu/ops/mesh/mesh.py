@@ -24,6 +24,14 @@ def index_vertices_by_faces(vertices_features, faces):
 
     Returns:
         (batch_size, num_faces, face_size, feat_dim).
+    
+    Example:
+        >>> import jax.numpy as jnp
+        >>> verts = jnp.asarray([[[0., 0., 0.], [1., 0., 0.],
+        ...                       [0., 1., 0.]]])
+        >>> faces = jnp.asarray([[0, 1, 2]])
+        >>> print(index_vertices_by_faces(verts, faces).shape)
+        (1, 1, 3, 3)
     """
     assert vertices_features.ndim == 3, \
         "vertices_features must have 3 dimensions (batch_size, num_points, knum)"

@@ -43,6 +43,15 @@ def face_areas(vertices, faces):
 
     Returns:
         (batch_size, num_faces).
+    
+    Example:
+        >>> import numpy as np
+        >>> import jax.numpy as jnp
+        >>> verts = jnp.asarray([[[0., 0., 0.], [2., 0., 0.],
+        ...                       [0., 2., 0.]]])
+        >>> faces = jnp.asarray([[0, 1, 2]])
+        >>> print(np.asarray(face_areas(verts, faces)))
+        [[2.]]
     """
     if faces.shape[-1] != 3:
         raise NotImplementedError("face_areas is only implemented for triangle meshes")

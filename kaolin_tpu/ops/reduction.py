@@ -24,6 +24,13 @@ def packed_simple_sum(packed_tensor, numel_per_tensor):
     Returns:
         jnp.ndarray of shape (batch_size,): per-sub-tensor sums over all
         elements (including the last dim, matching the reference).
+    
+    Example:
+        >>> import jax.numpy as jnp
+        >>> packed = jnp.asarray([[1., 2.], [3., 4.], [5., 6.]])
+        >>> print(np.asarray(packed_simple_sum(packed,
+        ...                                    np.asarray([2, 1]))))
+        [10. 11.]
     """
     numel = np.asarray(numel_per_tensor)
     seg = segment_ids_from_numel(numel)

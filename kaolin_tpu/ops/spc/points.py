@@ -29,6 +29,16 @@ def quantize_points(x, level):
     """Quantizes [-1, 1] coords to integer grid [0, 2^level - 1].
 
     Reference: ``kaolin/ops/spc/points.py:35``.
+    
+    Example:
+        >>> import numpy as np
+        >>> import jax.numpy as jnp
+        >>> pts = jnp.asarray([[-1., -1., -1.], [0., 0., 0.],
+        ...                    [0.999, 0.999, 0.999]])
+        >>> print(np.asarray(quantize_points(pts, 2)))
+        [[0 0 0]
+         [2 2 2]
+         [3 3 3]]
     """
     res = 2 ** level
     return jnp.floor(jnp.clip(res * (x + 1.0) / 2.0, 0, res - 1.)
@@ -59,6 +69,14 @@ def points_to_morton(points):
     """(Quantized) 3D points to morton codes (int64).
 
     Reference: ``kaolin/ops/spc/points.py:79``.
+    
+    Example:
+        >>> import numpy as np
+        >>> import jax.numpy as jnp
+        >>> pts = jnp.asarray([[0, 0, 0], [0, 0, 1], [1, 0, 0]],
+        ...                   jnp.int16)
+        >>> print(np.asarray(points_to_morton(pts)))
+        [0 1 4]
     """
     shape = points.shape[:-1]
     p = points.reshape(-1, 3).astype(jnp.int64)
@@ -71,6 +89,14 @@ def morton_to_points(morton):
     """Morton codes to (quantized) 3D points (int16).
 
     Reference: ``kaolin/ops/spc/points.py:107``.
+    
+    Example:
+        >>> import numpy as np
+        >>> import jax.numpy as jnp
+        >>> print(np.asarray(morton_to_points(jnp.asarray([0, 1, 4]))))
+        [[0 0 0]
+         [0 0 1]
+         [1 0 0]]
     """
     shape = tuple(morton.shape) + (3,)
     m = morton.reshape(-1).astype(jnp.int64)
@@ -84,6 +110,16 @@ def points_to_corners(points):
     """The 8 corners of each voxel (point = corner 0), morton corner order.
 
     Reference: ``kaolin/ops/spc/points.py:133``.
+    
+    Example:
+        >>> import numpy as np
+        >>> import jax.numpy as jnp
+        >>> corners = points_to_corners(jnp.asarray([[1, 2, 3]],
+        ...                                         jnp.int16))
+        >>> print(np.asarray(corners[0, :3]))
+        [[1 2 3]
+         [1 2 4]
+         [1 3 3]]
     """
     i = jnp.arange(8)
     offs = jnp.stack([(i >> 2) & 1, (i >> 1) & 1, i & 1],

@@ -13,6 +13,13 @@ def uint8_to_bits(uint8_t):
     """Unpacks uint8 values to 8 booleans (bit 0 first).
 
     Reference: ``kaolin/ops/spc/uint8.py:29``.
+    
+    Example:
+        >>> import numpy as np
+        >>> import jax.numpy as jnp
+        >>> bits = uint8_to_bits(jnp.asarray([5], jnp.uint8))
+        >>> print(np.asarray(bits).astype(np.int32))
+        [[1 0 1 0 0 0 0 0]]
     """
     shifts = jnp.arange(8, dtype=jnp.uint8)
     return ((uint8_t[..., None] >> shifts) & 1).astype(bool)

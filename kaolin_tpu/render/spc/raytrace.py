@@ -380,6 +380,12 @@ def mark_pack_boundaries(pack_ids):
     """True at the first element of each pack (run of equal ids).
 
     Reference: ``kaolin/render/spc/raytrace.py:86``.
+    
+    Example:
+        >>> import jax.numpy as jnp
+        >>> ids = jnp.asarray([0, 0, 1, 1, 1, 3])
+        >>> print(np.asarray(mark_pack_boundaries(ids)).astype(np.int32))
+        [1 0 1 0 0 1]
     """
     first = jnp.ones((1,), bool)
     rest = pack_ids[1:] != pack_ids[:-1]
@@ -407,6 +413,13 @@ def sum_reduce(feats, boundaries, num_packs=None):
     jit: the result has ``num_packs`` rows if given (static), else
     ``num_elems`` rows zero-padded past the true pack count (slice with
     ``int(boundaries.sum())`` outside jit for reference parity).
+    
+    Example:
+        >>> import jax.numpy as jnp
+        >>> feats = jnp.asarray([[1.], [2.], [3.], [4.]])
+        >>> b = jnp.asarray([True, False, True, False])
+        >>> print(np.asarray(sum_reduce(feats, b, num_packs=2))[:, 0])
+        [3. 7.]
     """
     seg = _seg_ids(boundaries)
     n = num_packs if num_packs is not None else feats.shape[0]
@@ -439,6 +452,13 @@ def cumsum(feats, boundaries, exclusive=False, reverse=False):
     """Segmented cumulative sum (tf.math.cumsum options).
 
     Reference: ``kaolin/render/spc/raytrace.py:221``.
+    
+    Example:
+        >>> import jax.numpy as jnp
+        >>> feats = jnp.asarray([[1.], [2.], [3.], [4.]])
+        >>> b = jnp.asarray([True, False, True, False])
+        >>> print(np.asarray(cumsum(feats, b))[:, 0])
+        [1. 3. 3. 7.]
     """
     return _segmented_scan(feats, boundaries, jnp.add, 0., exclusive,
                            reverse)
