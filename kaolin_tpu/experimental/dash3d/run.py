@@ -1,9 +1,13 @@
 """kaolin-tpu-dash3d: web viewer for Timelapse checkpoint logs.
 
 Re-design of ``kaolin/experimental/dash3d/run.py:42-110`` (Flask+Tornado
-+ THREE.js there): a single Tornado app serves a self-contained HTML page
-(vanilla-JS canvas renderer, no external assets — the environment has no
-flask and no CDN access) and streams geometry over a websocket as JSON.
++ THREE.js there): one Tornado app serves a self-contained page with a
+vanilla-WebGL renderer (``static/render.js`` — no external assets; the
+environment has no flask and no CDN access) and streams geometry over a
+websocket using the reference's BINARY wire format (see
+:mod:`.util`): the server pushes ``{"type": "dirinfo"}`` JSON on
+connect, the client requests ``{"type": "geometry", "data": [...]}``
+and receives int32-headed binary frames.
 
 Run: ``python -m kaolin_tpu.experimental.dash3d --logdir LOGDIR [--port P]``.
 """
@@ -15,53 +19,28 @@ import os
 
 import numpy as np
 
-from ...visualize import TimelapseParser
-from ...io import usd
+from .util import StreamingGeometryHelper, TYPE_MESH, TYPE_POINTCLOUD
 
 logger = logging.getLogger(__name__)
 
+_STATIC_DIR = os.path.join(os.path.dirname(__file__), 'static')
 _HTML_PATH = os.path.join(os.path.dirname(__file__), 'index.html')
 
 
-def _geometry_payload(parser, prim_type, category, idx, time):
-    """Loads one checkpointed geometry as a JSON-serializable dict."""
-    paths = parser.get_filepaths(category, prim_type)
-    if idx >= len(paths):
-        return {'error': f'no {prim_type} #{idx} in {category}'}
-    path = paths[idx]
-    if prim_type == 'mesh':
-        out = usd.import_mesh(path, time=time)
-        verts = np.asarray(out.vertices, np.float32)
-        faces = np.asarray(out.faces, np.int64)
-        return {'type': 'mesh', 'vertices': verts.tolist(),
-                'faces': faces.tolist()}
-    if prim_type == 'pointcloud':
-        out = usd.import_pointcloud(path, time=time)
-        return {'type': 'pointcloud',
-                'points': np.asarray(out.points, np.float32).tolist()}
-    if prim_type == 'voxelgrid':
-        grid = np.asarray(usd.import_voxelgrid(path, time=time))
-        idxs = np.argwhere(grid)
-        res = grid.shape[0]
-        pts = (idxs + 0.5) / res * 2. - 1.
-        return {'type': 'pointcloud', 'points': pts.tolist()}
-    return {'error': f'unknown prim type {prim_type}'}
-
-
-def _times_for(path):
-    stage = usd.Stage.load(path)
-    times = set()
-    for _, prim in stage.walk():
-        for _, (_, samples) in prim.time_attrs.items():
-            times.update(samples.keys())
-    return sorted(times)
+def get_max_viewports(urlargs):
+    """Clamped ``maxviews`` URL argument (reference
+    ``dash3d/run.py:32``): default 3, bounded to [1, 8]."""
+    try:
+        return max(1, min(8, int(urlargs.get('maxviews', 3))))
+    except (TypeError, ValueError):
+        return 3
 
 
 def create_server(logdir, port):
     import tornado.web
     import tornado.websocket
 
-    parser = TimelapseParser(logdir)
+    helper = StreamingGeometryHelper(logdir)
 
     class IndexHandler(tornado.web.RequestHandler):
         def get(self):
@@ -69,28 +48,72 @@ def create_server(logdir, port):
                 self.write(f.read())
 
     class GeometryWS(tornado.websocket.WebSocketHandler):
+        """Reference protocol (``dash3d/util.py:222-330``): dirinfo on
+        open; JSON geometry requests; binary geometry responses headed
+        by int32 [type_id, view_id, snap_time, 0]."""
+
+        def open(self):
+            self.write_message(json.dumps(
+                {'type': 'dirinfo', 'data': helper.get_directory_info()}),
+                binary=False)
+
         def on_message(self, message):
-            req = json.loads(message)
-            cmd = req.get('cmd')
-            if cmd == 'list':
-                parser.check_for_updates()
-                items = {}
-                for typ, infos in parser.dir_info.items():
-                    items[typ] = [
-                        {'category': i['category'], 'id': i['id'],
-                         'times': _times_for(i['path'])} for i in infos]
-                self.write_message(json.dumps({'cmd': 'list',
-                                               'items': items}))
-            elif cmd == 'geometry':
-                payload = _geometry_payload(
-                    parser, req['prim_type'], req['category'],
-                    int(req.get('id', 0)), req.get('time'))
-                payload['cmd'] = 'geometry'
-                self.write_message(json.dumps(payload))
+            try:
+                msg = json.loads(message)
+            except Exception as exc:       # noqa: BLE001
+                logger.error('Failed to decode incoming message: %s', exc)
+                return
+            if msg.get('type') == 'dirinfo':
+                self.write_message(json.dumps(
+                    {'type': 'dirinfo',
+                     'data': helper.get_directory_info()}), binary=False)
+                return
+            if msg.get('type') != 'geometry':
+                logger.error('Unsupported message: %r', msg.get('type'))
+                return
+            for req in msg.get('data') or []:
+                reply = self._get_requested_geometry(req)
+                if reply is not None:
+                    self.write_message(reply, binary=True)
+
+        @staticmethod
+        def _get_requested_geometry(req):
+            required = ('type', 'category', 'id', 'time', 'view_id')
+            if any(k not in req for k in required):
+                logger.error('Request missing keys: %r', req)
+                return None
+            idx = int(req['id'])
+            t = float(req['time'])
+            cur = float(req['current_time']) \
+                if 'current_time' in req and req['current_time'] is not None \
+                else None
+            kind = req.get('type')
+            if kind == 'mesh':
+                type_id = TYPE_MESH
+                payload, snap = helper.parse_encode_mesh(
+                    req['category'], idx, t, current_time=cur)
+            elif kind == 'pointcloud':
+                type_id = TYPE_POINTCLOUD
+                payload, snap = helper.parse_encode_pointcloud(
+                    req['category'], idx, t, current_time=cur)
+            elif kind == 'voxelgrid':
+                type_id = TYPE_POINTCLOUD
+                payload, snap = helper.parse_encode_voxelgrid_as_pointcloud(
+                    req['category'], idx, t, current_time=cur)
+            else:
+                logger.error('Unsupported geometry type: %r', kind)
+                return None
+            if payload is None:
+                return None
+            head = np.array([type_id, int(req['view_id']), int(snap), 0],
+                            np.int32).tobytes()
+            return head + payload
 
     app = tornado.web.Application([
         (r'/', IndexHandler),
         (r'/ws', GeometryWS),
+        (r'/static/(.*)', tornado.web.StaticFileHandler,
+         {'path': _STATIC_DIR}),
     ])
     app.listen(port)
     return app
@@ -112,14 +135,3 @@ def run_main():
 
 if __name__ == '__main__':
     run_main()
-
-
-def get_max_viewports(urlargs):
-    """Clamped ``maxviews`` URL argument (reference
-    ``dash3d/run.py:32``): default 3, bounded to [1, 8]. API-parity
-    helper — this port's simplified single-viewport viewer does not
-    consume it."""
-    try:
-        return max(1, min(8, int(urlargs.get('maxviews', 3))))
-    except (TypeError, ValueError):
-        return 3
