@@ -34,7 +34,8 @@ def main():
                                     scan_octrees, generate_points)
     from kaolin_tpu.render.spc import (unbatched_raytrace_fixed,
                                        primary_rays_fn)
-    from kaolin_tpu.render.spc.raytrace import plan_raytrace
+    from kaolin_tpu.render.spc.raytrace import (plan_raytrace,
+                                                level_offsets_from_octree)
 
     rng = np.random.default_rng(0)
     dirs = rng.normal(size=(args.points, 3))
@@ -52,10 +53,13 @@ def main():
     num_rays = args.res * args.res
     o, d = ray_fn(jnp.arange(num_rays, dtype=jnp.int32))
 
+    offs = level_offsets_from_octree(octree)
     sched = plan_raytrace(octree, ph, exsum, o, d, args.level,
-                          cap=64 * num_rays, ray_fn=ray_fn)
+                          cap=64 * num_rays, ray_fn=ray_fn,
+                          level_offsets=offs)
     cap = max(max(int(c) for c in sched), num_rays)
-    print(f'# octree nodes={int(lengths[0])} schedule={sched}', flush=True)
+    print(f'# octree nodes={int(lengths[0])} schedule={sched} '
+          f'level_offsets={offs}', flush=True)
 
     @jax.jit
     def run(o, d):
@@ -63,7 +67,7 @@ def main():
             # the level-0 origin nudge keeps the scan chain data-dependent
             ridx, pidx, depth, count = unbatched_raytrace_fixed(
                 octree, ph, exsum, o + c * 1e-12, d, args.level, cap,
-                cap_schedule=sched, ray_fn=ray_fn)
+                cap_schedule=sched, ray_fn=ray_fn, level_offsets=offs)
             return c + (count & 1).astype(jnp.float32) * 1e-6, None
         c, _ = jax.lax.scan(step, jnp.float32(0), None, length=args.iters)
         return c
@@ -77,7 +81,7 @@ def main():
 
     nuggets = int(np.asarray(unbatched_raytrace_fixed(
         octree, ph, exsum, o, d, args.level, cap, cap_schedule=sched,
-        ray_fn=ray_fn)[3]))
+        ray_fn=ray_fn, level_offsets=offs)[3]))
     ms = best * 1e3
     print(json.dumps({
         'metric': f'spc_raytrace_{args.res}x{args.res}_L{args.level}',

@@ -40,6 +40,12 @@ def main():
                    help='surface points for --workload raytrace')
     p.add_argument('--json-out', type=str, default=None,
                    help='append result records to this JSON-lines file')
+    p.add_argument('--rast-backend', default=None,
+                   choices=('auto', 'xla', 'pallas'),
+                   help="rasterize/soft-mask backend for the dibr "
+                        "workload (default: 'xla' on virtual CPU "
+                        "devices, 'auto' on TPU — 'auto' exercises the "
+                        "production Pallas-kernels-under-shard_map path)")
     p.add_argument('--multihost', action='store_true',
                    help='initialize the JAX multi-process runtime '
                         '(env: JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES, '
@@ -127,9 +133,11 @@ def _bench_dibr(mesh, args, jax, jnp, np, kal):
                     v, faces, cam_proj, camera_rot=cam_rot,
                     camera_trans=cam_trans)
                 ff = jnp.ones(fvc.shape[:3] + (1,))
+                backend = args.rast_backend or (
+                    'xla' if jax.default_backend() == 'cpu' else 'auto')
                 feat, mask, _ = sharded_dibr_rasterization(
                     mesh, H, W, fvc[..., 2], fvi, ff, fn[..., 2],
-                    rast_backend='xla', mask_backend='xla')
+                    rast_backend=backend, mask_backend=backend)
                 return jnp.sum(feat ** 2) + jnp.sum(mask)
             l, g = jax.value_and_grad(loss_fn)(c)
             return c - 1e-9 * g, l

@@ -163,7 +163,8 @@ def bench_raytrace(iters):
                                     scan_octrees, generate_points)
     from kaolin_tpu.render.spc import (unbatched_raytrace_fixed,
                                        generate_primary_rays)
-    from kaolin_tpu.render.spc.raytrace import plan_raytrace
+    from kaolin_tpu.render.spc.raytrace import (plan_raytrace,
+                                                level_offsets_from_octree)
 
     rng = np.random.default_rng(0)
     dirs = rng.normal(size=(200_000, 3))
@@ -177,12 +178,15 @@ def bench_raytrace(iters):
     o, d = generate_primary_rays(256, 256, jnp.asarray([0., 0., 2.5]),
                                  jnp.zeros(3), jnp.asarray([0., 1., 0.]),
                                  np.pi / 3)
-    sched = plan_raytrace(octree, ph, exsum, o, d, level, cap=64 * 65536)
+    offs = level_offsets_from_octree(octree)
+    sched = plan_raytrace(octree, ph, exsum, o, d, level, cap=64 * 65536,
+                          level_offsets=offs)
     cap = max(max(int(c) for c in sched), 65536)
 
     def step(o):
         _, _, dep, cnt = unbatched_raytrace_fixed(
-            octree, ph, exsum, o, d, level, cap, cap_schedule=sched)
+            octree, ph, exsum, o, d, level, cap, cap_schedule=sched,
+            level_offsets=offs)
         return o + 1e-20 * jnp.max(dep)
 
     return {'metric': 'spc_raytrace_256_L8', 'unit': 'ms/trace',

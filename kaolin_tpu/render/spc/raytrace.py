@@ -41,6 +41,7 @@ import jax.numpy as jnp
 __all__ = [
     'unbatched_raytrace',
     'unbatched_raytrace_fixed',
+    'level_offsets_from_octree',
     'mark_pack_boundaries',
     'mark_first_hit',
     'diff',
@@ -91,14 +92,68 @@ def _sgn(d):
     return jnp.where(jnp.signbit(d), 1., -1.).astype(d.dtype)
 
 
+# Measured gather regimes on this backend (see BASELINE.md): 1D gathers
+# from tables of roughly [4k, 262k] rows run at the ~13 ns/el floor;
+# tables past ~half a million rows fall onto a slow path (~25-50 ns/el).
+# _node_gather keeps every level's tree-walk gather in the fast regime by
+# slicing the level's own contiguous subtable (static bounds) and, for
+# levels wider than _GATHER_FAST_ROWS, splitting into masked chunk
+# gathers combined with where().
+_GATHER_MIN_ROWS = 4096
+_GATHER_FAST_ROWS = 262144
+
+
+def _node_gather(node_tbl, pidx, lo, hi):
+    """``node_tbl[pidx]`` for ``pidx`` known to lie in ``[lo, hi)``
+    (static bounds — the level's row range), routed through the fast
+    gather regime. Out-of-range ``pidx`` (dead lanes) clamp."""
+    n = hi - lo
+    idx = jnp.clip(pidx - lo, 0, n - 1)
+    if n <= _GATHER_FAST_ROWS:
+        sub = jax.lax.slice(node_tbl, (lo,), (hi,))
+        if n < _GATHER_MIN_ROWS:
+            # tiny tables also price off the fast path; zero-pad up
+            sub = jnp.concatenate(
+                [sub, jnp.zeros((_GATHER_MIN_ROWS - n,), node_tbl.dtype)])
+        return jnp.take(sub, idx)
+    chunks = -(-n // _GATHER_FAST_ROWS)
+    csize = -(-n // chunks)
+    out = jnp.zeros(pidx.shape, node_tbl.dtype)
+    for c in range(chunks):
+        clo, chi = lo + c * csize, min(lo + (c + 1) * csize, hi)
+        sub = jax.lax.slice(node_tbl, (clo,), (chi,))
+        cidx = jnp.clip(pidx - clo, 0, chi - clo - 1)
+        sel = (pidx >= clo) & (pidx < chi)
+        out = jnp.where(sel, jnp.take(sub, cidx), out)
+    return out
+
+
+def level_offsets_from_octree(octree):
+    """Host-side per-level node offsets of an SPC octree byte array:
+    ``offsets[l]`` is the row where level ``l`` starts in the byte /
+    exsum tables, ``offsets[-1] == num_bytes``. Pass as the (static)
+    ``level_offsets`` of :func:`unbatched_raytrace_fixed` to keep the
+    per-level tree-walk gathers inside their level's subtable."""
+    octree = np.asarray(octree)
+    counts = [1]
+    off = 0
+    while off + counts[-1] < octree.shape[0]:
+        nxt = int(np.bitwise_count(
+            octree[off:off + counts[-1]]).sum())
+        off += counts[-1]
+        counts.append(nxt)
+    return tuple(np.concatenate([[0], np.cumsum(counts)]).tolist())
+
+
 @functools.partial(jax.jit, static_argnames=('level', 'cap', 'with_exit',
                                              'cap_schedule',
                                              'return_level_counts',
-                                             'ray_fn'))
+                                             'ray_fn', 'level_offsets'))
 def unbatched_raytrace_fixed(octree, point_hierarchy, exsum, origin,
                              direction, level, cap, with_exit=False,
                              cap_schedule=None,
-                             return_level_counts=False, ray_fn=None):
+                             return_level_counts=False, ray_fn=None,
+                             level_offsets=None):
     """Statically-shaped SPC ray trace.
 
     Children are culled at emission: each level gathers its (already hit)
@@ -205,8 +260,17 @@ def unbatched_raytrace_fixed(octree, point_hierarchy, exsum, origin,
             c_out = min(c_out, int(cap_schedule[l]))
         last = l == level - 1
 
-        # the one structural gather per level: the tree walk itself
-        node = jnp.take(node_tbl, jnp.maximum(pidx, 0))
+        # the one structural gather per level: the tree walk itself.
+        # pidx here holds level-l node ids, which occupy the contiguous
+        # row range [level_offsets[l], level_offsets[l+1]) of the byte /
+        # exsum tables — gathering from that subtable keeps the op in
+        # the backend's fast regime (see _node_gather).
+        if level_offsets is not None:
+            node = _node_gather(node_tbl, pidx,
+                                int(level_offsets[l]),
+                                int(level_offsets[l + 1]))
+        else:
+            node = jnp.take(node_tbl, jnp.maximum(pidx, 0))
         bits = node & 0xFF
         r = 1.0 / (1 << l)
         rc = r * 0.5
@@ -320,7 +384,8 @@ def unbatched_raytrace_fixed(octree, point_hierarchy, exsum, origin,
 
 
 def plan_raytrace(octree, point_hierarchy, exsum, origin, direction,
-                  level, cap=None, margin=1.25, ray_fn=None):
+                  level, cap=None, margin=1.25, ray_fn=None,
+                  level_offsets=None):
     """Probes a trace and returns a tight per-level ``cap_schedule``
     (tuple, static) for :func:`unbatched_raytrace_fixed` — per-level
     buffers sized to the actual nugget counts (x ``margin``, rounded up
@@ -332,7 +397,8 @@ def plan_raytrace(octree, point_hierarchy, exsum, origin, direction,
         cap = 64 * num_rays
     *_, counts = unbatched_raytrace_fixed(
         octree, point_hierarchy, exsum, origin, direction, int(level), cap,
-        return_level_counts=True, ray_fn=ray_fn)
+        return_level_counts=True, ray_fn=ray_fn,
+        level_offsets=level_offsets)
     counts = np.asarray(counts)
     sched = tuple(int(-(-int(c * margin) // 1024) * 1024) for c in counts)
     return sched
@@ -361,10 +427,11 @@ def unbatched_raytrace(octree, point_hierarchy, pyramid, exsum, origin,
     """
     num_rays = origin.shape[0]
     cap = int(max_nuggets) if max_nuggets is not None else 64 * num_rays
+    offs = level_offsets_from_octree(octree)
     while True:
         ridx, pidx, depth, count = unbatched_raytrace_fixed(
             octree, point_hierarchy, exsum, origin, direction,
-            int(level), cap, bool(with_exit))
+            int(level), cap, bool(with_exit), level_offsets=offs)
         n = int(count)
         if n <= cap:
             break

@@ -220,3 +220,27 @@ def test_raytrace_ray_fn_parity(sphere_spc):
     assert np.array_equal(np.asarray(a[1]), np.asarray(b[1]))
     np.testing.assert_allclose(np.asarray(a[2]), np.asarray(b[2]),
                                atol=2e-6, rtol=0)
+
+
+def test_raytrace_level_offsets_parity(sphere_spc):
+    """The per-level subtable gather path (static ``level_offsets``) is
+    bit-identical to the whole-table gather: same counts, indices, and
+    depths (the gather reads the same values, only through level-sliced
+    subtables that stay in the backend's fast-gather size regime)."""
+    from kaolin_tpu.render.spc.raytrace import (unbatched_raytrace_fixed,
+                                                level_offsets_from_octree)
+    octree, ph, pyramid, exsum, level = sphere_spc
+    offs = level_offsets_from_octree(octree)
+    assert offs[0] == 0 and offs[-1] == int(np.asarray(octree).shape[0])
+    assert len(offs) >= level + 1
+    o, d = generate_primary_rays(32, 32, jnp.asarray([0.4, 0.3, 2.5]),
+                                 jnp.zeros(3), jnp.asarray([0., 1., 0.]),
+                                 jnp.pi / 3)
+    cap = 32 * 32 * 32
+    a = unbatched_raytrace_fixed(octree, ph, exsum, o, d, level, cap,
+                                 with_exit=True)
+    b = unbatched_raytrace_fixed(octree, ph, exsum, o, d, level, cap,
+                                 with_exit=True, level_offsets=offs)
+    assert int(a[3]) == int(b[3]) and int(a[3]) > 0
+    for i in range(3):
+        assert np.array_equal(np.asarray(a[i]), np.asarray(b[i]))
