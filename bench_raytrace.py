@@ -25,6 +25,9 @@ def main():
     p.add_argument('--iters', type=int, default=8)
     p.add_argument('--reps', type=int, default=4)
     p.add_argument('--points', type=int, default=200000)
+    p.add_argument('--backend', choices=('xla', 'banded'), default='xla',
+                   help="'banded' = the Pallas sorted-frontier traversal "
+                        "kernel (kernels/spc_traverse.py)")
     args = p.parse_args()
 
     import jax
@@ -61,16 +64,37 @@ def main():
     print(f'# octree nodes={int(lengths[0])} schedule={sched} '
           f'level_offsets={offs}', flush=True)
 
-    @jax.jit
-    def run(o, d):
-        def step(c, _):
-            # the level-0 origin nudge keeps the scan chain data-dependent
-            ridx, pidx, depth, count = unbatched_raytrace_fixed(
-                octree, ph, exsum, o + c * 1e-12, d, args.level, cap,
-                cap_schedule=sched, ray_fn=ray_fn, level_offsets=offs)
-            return c + (count & 1).astype(jnp.float32) * 1e-6, None
-        c, _ = jax.lax.scan(step, jnp.float32(0), None, length=args.iters)
-        return c
+    if args.backend == 'banded':
+        from kaolin_tpu.render.spc.raytrace import primary_rays_fn_cols
+        from kaolin_tpu.kernels.spc_traverse import (
+            build_node_table_t, traverse_banded, schedule_from_counts)
+        ray_cols = primary_rays_fn_cols(
+            args.res, args.res, jnp.asarray([0., 0., 2.5]), jnp.zeros(3),
+            jnp.asarray([0., 1., 0.]), jnp.pi / 3)
+        bsched = schedule_from_counts(sched)
+        tbl = build_node_table_t(octree, exsum)
+
+        @jax.jit
+        def run(o, d):
+            def step(c, _):
+                r_, p_, dep, count, ov = traverse_banded(
+                    tbl + c * 0, num_rays, args.level, bsched, ray_cols)
+                return c + (count & 1).astype(jnp.float32) * 1e-6, None
+            c, _ = jax.lax.scan(step, jnp.float32(0), None,
+                                length=args.iters)
+            return c
+    else:
+        @jax.jit
+        def run(o, d):
+            def step(c, _):
+                # level-0 origin nudge keeps the scan chain data-dependent
+                ridx, pidx, depth, count = unbatched_raytrace_fixed(
+                    octree, ph, exsum, o + c * 1e-12, d, args.level, cap,
+                    cap_schedule=sched, ray_fn=ray_fn, level_offsets=offs)
+                return c + (count & 1).astype(jnp.float32) * 1e-6, None
+            c, _ = jax.lax.scan(step, jnp.float32(0), None,
+                                length=args.iters)
+            return c
 
     np.asarray(run(o, d))  # compile + warm
     best = 1e9
@@ -85,6 +109,7 @@ def main():
     ms = best * 1e3
     print(json.dumps({
         'metric': f'spc_raytrace_{args.res}x{args.res}_L{args.level}',
+        'backend': args.backend,
         'value': round(ms, 3), 'unit': 'ms/trace',
         'nuggets': nuggets,
         'mrays_per_s': round(num_rays / best / 1e6, 2),

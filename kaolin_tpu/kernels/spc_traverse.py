@@ -1,0 +1,520 @@
+"""Banded sorted-frontier SPC traversal — the Pallas tree-walk kernel.
+
+TPU-native replacement for the XLA sort-compaction traversal in
+``render/spc/raytrace.py`` (reference CUDA: level-synchronous BFS,
+``kaolin/csrc/render/spc/raytrace_cuda.cu:64-269``). The XLA path's
+per-level floor is one ~13 ns/el node gather plus an 8C-row multi-operand
+sort (~2 ns/row); both are machinery, not math. This kernel removes both
+by re-shaping the frontier so neither is needed:
+
+* **Octant-order emission keeps the frontier id-sorted for free.** A
+  node's children occupy consecutive ids (``exsum`` base + prefix
+  popcount), so emitting candidates in *octant* order — not the CUDA
+  VOXEL_ORDER near-to-far order — produces a child frontier that is
+  ascending in node id wherever the parent frontier was. The reference's
+  exact output order (ray-major, near-to-far DFS) is restored by ONE
+  final sort over carried ``(ray, path_key)`` columns, where
+  ``path_key`` accumulates the VOXEL_ORDER rank base-8 per level.
+
+* **A banded frontier turns the tree-walk gather into MXU matmuls.**
+  The frontier lives in (rows, 128) lane tiles; each row's node ids span
+  a narrow window of the (level-contiguous) node table. An XLA prepass
+  computes per-row windows; the kernel fetches two adjacent 4096-wide
+  blocks of a *transposed* (8, N) table through
+  ``PrefetchScalarGridSpec`` index maps (the pipeline double-buffers
+  them) and gathers each row's 128 node words as a
+  ``(8, CHUNK) @ (CHUNK, 128)`` one-hot matmul — iota-vs-id compare
+  builds the one-hot, f32-HIGHEST keeps integer payloads < 2**24 exact.
+
+* **Compaction is slot-packing, not sorting.** Each parent's 8 candidate
+  slots pack survivors to the slot-0 end with an 8-deep stable
+  transposition network (vectorized over 128 lanes). Slot-0 rows pass to
+  the next level in place (holes ride along, masked by ``pidx < 0`` —
+  the density fixpoint stays ~70-85%); slots 1..SMAX-1 are compacted by
+  ONE small XLA sort (~C/2 rows, keyed by node id so bands stay narrow)
+  and appended as new rows.
+
+Per level the kernel does gather + slab tests + emission + packing in
+one pass over VMEM-resident tiles; XLA between levels only reduces
+per-row min/max ids and runs the small append sort.
+
+Exactness: the slab test is the same arithmetic as the XLA path
+(``_ray_aabb``); Mosaic's instruction selection may differ from XLA's
+FMA clustering on razor-edge ``|lt| == r`` decisions, so parity with the
+XLA path is asserted exactly on generic scenes and the XLA path remains
+the default backend (see ``unbatched_raytrace_fixed``).
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+# Table window block width: the kernel fetches three adjacent blocks
+# per step, guaranteeing 2*W_BLK+1 ids of coverage past the rounded-down
+# window start. A step of 8x128 parents emits at most 8192 *consecutive*
+# children, but append-row parents carry id gaps, so real spans run
+# (id-spread x children-per-node); 16385 guaranteed coverage absorbs the
+# observed spread, and wider still raises the overflow flag (caller
+# falls back to the XLA path).
+W_BLK = 8192
+CHUNK = 512           # one-hot gather chunk (sublanes); divides W_BLK
+
+# near-to-far rank of (octant ^ ray-code); self-inverse permutation
+_GRAY_RANK = (0, 1, 2, 4, 3, 5, 6, 7)
+
+_INT_MAX = jnp.int32(0x7FFFFFFF)
+
+
+def build_node_table_t(octree, exsum):
+    """Transposed node table for the traversal kernel: (8, Npad) f32,
+    row 0 = octree byte, row 1 = first-child id (``exsum``), rows 2-7
+    zero. Npad rounds up to a W_BLK multiple plus one spare block so the
+    kernel's two adjacent block fetches never run off the end. Values
+    stay exact through the f32 one-hot matmuls (byte < 2**8, child ids
+    < 2**24)."""
+    n = octree.shape[0]
+    npad = (-(-(n) // W_BLK) + 2) * W_BLK
+    tbl = jnp.zeros((8, npad), jnp.float32)
+    tbl = tbl.at[0, :n].set(octree.astype(jnp.float32))
+    tbl = tbl.at[1, :n].set(exsum[:n].astype(jnp.float32))
+    return tbl
+
+
+def _ray_cols_aabb(ox, oy, oz, dx, dy, dz, ivx, ivy, ivz,
+                   sx, sy, sz, cx, cy, cz, r):
+    """Component-form replica of raytrace._ray_aabb (Majercik slab
+    test) on (8, 128) tiles. Returns 0 = miss, > 0 = entry distance,
+    < 0 = origin inside."""
+    ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+    cmax = jnp.maximum(jnp.maximum(jnp.abs(ocx), jnp.abs(ocy)),
+                       jnp.abs(ocz))
+    inside = cmax < r
+    winding = jnp.where(inside, -r, r)
+    d0 = (winding * sx - ocx) * ivx
+    d1 = (winding * sy - ocy) * ivy
+    d2 = (winding * sz - ocz) * ivz
+    ltxy = dy * d0 + ocy
+    ltxz = dz * d0 + ocz
+    ltyx = dx * d1 + ocx
+    ltyz = dz * d1 + ocz
+    ltzx = dx * d2 + ocx
+    ltzy = dy * d2 + ocy
+    test0 = (d0 >= 0.) & (jnp.abs(ltxy) <= r) & (jnp.abs(ltxz) <= r)
+    test1 = (d1 >= 0.) & (jnp.abs(ltyx) <= r) & (jnp.abs(ltyz) <= r)
+    test2 = (d2 >= 0.) & (jnp.abs(ltzx) <= r) & (jnp.abs(ltzy) <= r)
+    dist = jnp.where(test0, d0, jnp.where(test1, d1,
+                     jnp.where(test2, d2, 0.)))
+    return jnp.where(inside, winding, dist)
+
+
+def _level_kernel_body(l, last, with_exit, ray_fn_cols,
+                       wblk_ref, cbase_ref, cnum_ref,
+                       pidx_ref, ridx_ref, xy_ref, zz_ref, key_ref,
+                       tbl_a, tbl_b, tbl_c, *out_refs):
+    """One traversal level for 8 frontier rows (1024 parents)."""
+    i = pl.program_id(0)
+    f32 = jnp.float32
+    dt = f32
+
+    # ---- one-hot windowed gather of node words -------------------------
+    wblk = wblk_ref[0, i]
+    byte_rows = []
+    base_rows = []
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, LANES), 0)
+    for rr in range(8):
+        pidx_r = pidx_ref[rr, :].reshape(1, LANES)
+
+        def chunk_body(k, acc, pidx_r=pidx_r, rr=rr):
+            cb = cbase_ref[0, i * 8 + rr] + k      # abs chunk idx (CHUNK units)
+            off_a = cb * CHUNK - wblk * W_BLK      # lane offset in block A
+            in_a = off_a < W_BLK
+            # offsets are CHUNK-multiples by construction (clip bounds
+            # are too) — Mosaic requires the proof hint for dynamic
+            # lane-dimension vector loads
+            in_b = off_a < 2 * W_BLK
+            ds_a = pl.multiple_of(jnp.clip(off_a, 0, W_BLK - CHUNK), CHUNK)
+            ds_b = pl.multiple_of(jnp.clip(off_a - W_BLK, 0,
+                                           W_BLK - CHUNK), CHUNK)
+            ds_c = pl.multiple_of(jnp.clip(off_a - 2 * W_BLK, 0,
+                                           W_BLK - CHUNK), CHUNK)
+            sl_a = tbl_a[:, pl.ds(ds_a, CHUNK)]
+            sl_b = tbl_b[:, pl.ds(ds_b, CHUNK)]
+            sl_c = tbl_c[:, pl.ds(ds_c, CHUNK)]
+            vals = jnp.where(in_a, sl_a,
+                             jnp.where(in_b, sl_b, sl_c))  # (8, CHUNK)
+            ids = sub_iota + cb * CHUNK            # (CHUNK, LANES)
+            onehot = (ids == pidx_r).astype(f32)
+            return acc + jax.lax.dot(
+                vals, onehot, precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=f32)
+
+        acc = jax.lax.fori_loop(0, cnum_ref[0, i * 8 + rr], chunk_body,
+                                jnp.zeros((8, LANES), f32))
+        byte_rows.append(acc[0:1, :])
+        base_rows.append(acc[1:2, :])
+    node_byte = jnp.concatenate(byte_rows, axis=0).astype(jnp.int32)
+    child_base = jnp.concatenate(base_rows, axis=0).astype(jnp.int32)
+
+    # ---- parent state --------------------------------------------------
+    pidx = pidx_ref[:, :]
+    ridx = ridx_ref[:, :]
+    xy = xy_ref[:, :]
+    zz = zz_ref[:, :]
+    key = key_ref[:, :]
+    valid = pidx >= 0
+
+    r = dt(1.0 / (1 << l))
+    rc = dt(r * 0.5)
+    px = ((xy >> 16) & 0xFFFF).astype(dt)
+    py = (xy & 0xFFFF).astype(dt)
+    pz = zz.astype(dt)
+    vcx = r * (2. * px + 1.) - 1.
+    vcy = r * (2. * py + 1.) - 1.
+    vcz = r * (2. * pz + 1.) - 1.
+
+    ox, oy, oz, dx, dy, dz = ray_fn_cols(ridx)
+    ivx, ivy, ivz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+    # signbit(x) ? 1 : -1
+    sx = jnp.where(jnp.signbit(dx), dt(1.), dt(-1.))
+    sy = jnp.where(jnp.signbit(dy), dt(1.), dt(-1.))
+    sz = jnp.where(jnp.signbit(dz), dt(1.), dt(-1.))
+    if with_exit and last:
+        ex_ = jnp.where(jnp.signbit(-dx), dt(1.), dt(-1.))
+        ey_ = jnp.where(jnp.signbit(-dy), dt(1.), dt(-1.))
+        ez_ = jnp.where(jnp.signbit(-dz), dt(1.), dt(-1.))
+
+    # ray-origin octant code (raytrace_cuda.cu:252-259)
+    fx = (0.5 * ox + 0.5) - r * (px + 0.5)
+    fy = (0.5 * oy + 0.5) - r * (py + 0.5)
+    fz = (0.5 * oz + 0.5) - r * (pz + 0.5)
+    code = ((fx > 0).astype(jnp.int32) * 4 + (fy > 0).astype(jnp.int32) * 2
+            + (fz > 0).astype(jnp.int32))
+
+    # ---- per-octant candidate planes (octant ascending = id order) -----
+    planes = []        # per octant: dict of field tiles
+    for s in range(8):
+        exists = ((node_byte >> s) & 1) > 0
+        sxo, syo, szo = (s >> 2) & 1, (s >> 1) & 1, s & 1
+        ccx = vcx - rc + r * dt(sxo)
+        ccy = vcy - rc + r * dt(syo)
+        ccz = vcz - rc + r * dt(szo)
+        entry = _ray_cols_aabb(ox, oy, oz, dx, dy, dz, ivx, ivy, ivz,
+                               sx, sy, sz, ccx, ccy, ccz, rc)
+        if last:
+            hit = entry > 0.
+            if with_exit:
+                exit_ = _ray_cols_aabb(ox, oy, oz, dx, dy, dz,
+                                       ivx, ivy, ivz, ex_, ey_, ez_,
+                                       ccx, ccy, ccz, rc)
+                hit &= exit_ > 0.
+        else:
+            hit = entry != 0.
+        keep = exists & hit & valid
+        # inclusive prefix popcount, matching the XLA path and the
+        # reference (raytrace_cuda.cu): child id = exsum[p] + popcount
+        # of bits 0..s of the parent byte
+        cnt_before = jnp.bitwise_count(
+            (node_byte & ((2 << s) - 1)).astype(jnp.uint32)
+        ).astype(jnp.int32)
+        # near-to-far rank of this octant for this ray: _GRAY_RANK[s^code]
+        sc = s ^ code
+        rank = jnp.zeros_like(code)
+        for v in range(8):
+            rank = jnp.where(sc == v, jnp.int32(_GRAY_RANK[v]), rank)
+        fields = {
+            'pidx': jnp.where(keep, child_base + cnt_before, -1),
+            'ridx': ridx,
+            'key': key * 8 + rank,
+        }
+        if last:
+            fields['ent'] = entry
+            if with_exit:
+                fields['ext'] = exit_
+        else:
+            fields['xy'] = (xy << 1) | (sxo << 16) | syo
+            fields['zz'] = (zz << 1) | szo
+        planes.append(fields)
+
+    # ---- stable slot-packing: survivors to low slots -------------------
+    # odd-even transposition on the 8 octant planes; a swap only fires
+    # when (low = dead, high = alive), so alive relative (id) order is
+    # preserved. 8 rounds close any gap pattern.
+    names = list(planes[0].keys())
+    for _round in range(8):
+        start = _round % 2
+        for a in range(start, 7, 2):
+            b = a + 1
+            dead_a = planes[a]['pidx'] < 0
+            alive_b = planes[b]['pidx'] >= 0
+            w = dead_a & alive_b
+            for nm in names:
+                va, vb = planes[a][nm], planes[b][nm]
+                planes[a][nm] = jnp.where(w, vb, va)
+                planes[b][nm] = jnp.where(w, va, vb)
+
+    # ---- write slotted output: out row = inrow * 8 + slot --------------
+    out = dict(zip(['pidx', 'ridx', 'key', 'xy', 'zz', 'ent', 'ext'],
+                   out_refs))
+    for s in range(8):
+        for nm in names:
+            ref = out[nm]
+            for rr in range(8):
+                ref[rr * 8 + s, :] = planes[s][nm][rr, :]
+
+
+def make_level_call(l, steps, last, with_exit, ray_fn_cols, npad,
+                    interpret=False):
+    """pallas_call for one traversal level over ``steps`` grid steps
+    (8 frontier rows each)."""
+    rows = steps * 8
+    i32 = jnp.int32
+    f32 = jnp.float32
+    out_shapes = [jax.ShapeDtypeStruct((rows * 8, LANES), i32)  # pidx
+                  ] + [jax.ShapeDtypeStruct((rows * 8, LANES), i32)] * 2
+    # order: pidx, ridx, key, then xy/zz (mid) or ent/ext (last)
+    if last:
+        out_shapes.append(jax.ShapeDtypeStruct((rows * 8, LANES), f32))
+        if with_exit:
+            out_shapes.append(jax.ShapeDtypeStruct((rows * 8, LANES), f32))
+    else:
+        out_shapes += [jax.ShapeDtypeStruct((rows * 8, LANES), i32)] * 2
+
+    nouts = len(out_shapes)
+
+    def kernel(wblk_ref, cbase_ref, cnum_ref,
+               pidx_ref, ridx_ref, xy_ref, zz_ref, key_ref,
+               tbl_a, tbl_b, tbl_c, *outs):
+        # reorder outs into the body's fixed slot layout
+        named = {}
+        named['pidx'], named['ridx'], named['key'] = outs[0], outs[1], outs[2]
+        if last:
+            named['ent'] = outs[3]
+            named['xy'] = named['zz'] = None
+            if with_exit:
+                named['ext'] = outs[4]
+            else:
+                named['ext'] = None
+        else:
+            named['xy'], named['zz'] = outs[3], outs[4]
+            named['ent'] = named['ext'] = None
+        _level_kernel_body(l, last, with_exit, ray_fn_cols,
+                           wblk_ref, cbase_ref, cnum_ref,
+                           pidx_ref, ridx_ref, xy_ref, zz_ref, key_ref,
+                           tbl_a, tbl_b, tbl_c,
+                           named['pidx'], named['ridx'], named['key'],
+                           named['xy'], named['zz'],
+                           named['ent'], named['ext'])
+
+    frontier_spec = pl.BlockSpec((8, LANES), lambda i, *_: (i, 0),
+                                 memory_space=pltpu.VMEM)
+    nblk = npad // W_BLK
+
+    def tbl_map_a(i, wblk_ref, cbase_ref, cnum_ref):
+        return (0, wblk_ref[0, i])
+
+    def tbl_map_b(i, wblk_ref, cbase_ref, cnum_ref):
+        return (0, jnp.minimum(wblk_ref[0, i] + 1, nblk - 1))
+
+    def tbl_map_c(i, wblk_ref, cbase_ref, cnum_ref):
+        return (0, jnp.minimum(wblk_ref[0, i] + 2, nblk - 1))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(steps,),
+        in_specs=[frontier_spec] * 5 + [
+            pl.BlockSpec((8, W_BLK), tbl_map_a, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, W_BLK), tbl_map_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, W_BLK), tbl_map_c, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((64, LANES), lambda i, *_: (i, 0),
+                                memory_space=pltpu.VMEM)] * nouts,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )
+
+
+def _prepass(pidx_rows, nblk):
+    """Window/chunk schedule for a (rows, 128) frontier: per-step table
+    block index, per-row chunk base/count, and a coverage-overflow flag
+    (a step's ids must fit the two fetched blocks). Empty rows get a
+    zero chunk count and are excluded from the step window."""
+    valid = pidx_rows >= 0
+    rmin = jnp.min(jnp.where(valid, pidx_rows, _INT_MAX), axis=1)
+    rmax = jnp.max(jnp.where(valid, pidx_rows, -1), axis=1)
+    empty = rmax < 0
+    smin = jnp.min(rmin.reshape(-1, 8), axis=1)        # INT_MAX if all empty
+    smax = jnp.max(rmax.reshape(-1, 8), axis=1)
+    wblk = jnp.clip(smin // W_BLK, 0, nblk - 2)
+    covered = (smax < (wblk + 3) * W_BLK) | (smax < 0)
+    overflow = jnp.sum(jnp.logical_not(covered).astype(jnp.int32))
+    cbase = jnp.clip(jnp.where(empty, 0, rmin // CHUNK), 0,
+                     nblk * (W_BLK // CHUNK) - 1)
+    cnum = jnp.where(empty, 0, rmax // CHUNK - cbase + 1)
+    return (wblk.reshape(1, -1).astype(jnp.int32),
+            cbase.reshape(1, -1).astype(jnp.int32),
+            cnum.reshape(1, -1).astype(jnp.int32),
+            overflow)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'num_rays', 'level', 'schedule', 'with_exit', 'ray_fn_cols',
+    'interpret'))
+def traverse_banded(tbl_t, num_rays, level, schedule, ray_fn_cols,
+                    with_exit=False, interpret=False):
+    """Full SPC traversal on the banded-frontier Pallas kernel.
+
+    Args:
+        tbl_t: (8, Npad) f32 transposed node table
+            (:func:`build_node_table_t`).
+        num_rays: ray count (static); rays come from ``ray_fn_cols``.
+        level (int): target octree level (<= 10: the carried path key
+            packs 3 bits per level into an int32).
+        schedule: static per-level tuple ``(rows_s0... )`` — entry l is
+            ``(append_rows_l,)`` capacity of rows appended after level
+            l's slot-sort (level ``level-1`` entry sizes the final
+            buffer); from :func:`plan_traverse_banded`.
+        ray_fn_cols: static callable ``ridx tile -> (ox, oy, oz, dx,
+            dy, dz)`` tiles — componentwise ray recompute, traced into
+            the kernel.
+        with_exit: also return exit depths.
+        interpret: run the kernels in interpreter mode (CPU tests).
+
+    Returns:
+        (ridx, pidx, depth (N, 1|2), count, overflow) — N = final
+        capacity; valid prefix of length ``min(count, N)`` in the
+        reference's exact order (ray-major, near-to-far DFS).
+    """
+    assert level >= 1 and level <= 10, level
+    npad = tbl_t.shape[1]
+    nblk = npad // W_BLK
+
+    r0 = -(-num_rays // LANES)
+    r0 = -(-r0 // 8) * 8
+    lane_iota = jnp.arange(r0 * LANES, dtype=jnp.int32).reshape(r0, LANES)
+    in_range = lane_iota < num_rays
+    pidx = jnp.where(in_range, 0, -1)
+    ridx = jnp.where(in_range, lane_iota, 0)
+    xy = jnp.zeros((r0, LANES), jnp.int32)
+    zz = jnp.zeros((r0, LANES), jnp.int32)
+    key = jnp.zeros((r0, LANES), jnp.int32)
+
+    overflow = jnp.int32(0)
+    for l in range(level):
+        last = l == level - 1
+        rows = pidx.shape[0]
+        steps = rows // 8
+        wblk, cbase, cnum, oflow = _prepass(pidx, nblk)
+        overflow += oflow
+        call = make_level_call(l, steps, last, with_exit, ray_fn_cols,
+                               npad, interpret)
+        outs = call(wblk, cbase, cnum, pidx, ridx, xy, zz, key,
+                    tbl_t, tbl_t, tbl_t)
+        o_pidx, o_ridx, o_key = outs[0], outs[1], outs[2]
+        if last:
+            o_ent = outs[3]
+            o_ext = outs[4] if with_exit else None
+            o_xy = o_zz = None
+        else:
+            o_xy, o_zz = outs[3], outs[4]
+            o_ent = o_ext = None
+
+        # ---- slot-0 rows stay in place; slots 1..7 sort-append ----------
+        def split(a):
+            if a is None:
+                return None, None
+            t = a.reshape(rows, 8, LANES)
+            return t[:, 0], t[:, 1:].reshape(-1)
+
+        (p0, p_rest) = split(o_pidx)
+        (r0_, r_rest) = split(o_ridx)
+        (k0, k_rest) = split(o_key)
+        cols_rest = [r_rest, k_rest]
+        cols0 = [r0_, k0]
+        if last:
+            e0, e_rest = split(o_ent)
+            cols_rest.append(e_rest)
+            cols0.append(e0)
+            if with_exit:
+                x0, x_rest = split(o_ext)
+                cols_rest.append(x_rest)
+                cols0.append(x0)
+        else:
+            xy0, xy_rest = split(o_xy)
+            zz0, zz_rest = split(o_zz)
+            cols_rest += [xy_rest, zz_rest]
+            cols0 += [xy0, zz0]
+
+        kcap = int(schedule[l]) if schedule is not None else rows * 7
+        kcap = min(kcap, rows * 7)
+        sort_key = jnp.where(p_rest < 0, _INT_MAX, p_rest)
+        sorted_ops = jax.lax.sort(
+            (sort_key, p_rest) + tuple(cols_rest), num_keys=1,
+            is_stable=False)
+        kept = jnp.sum((sorted_ops[0] != _INT_MAX).astype(jnp.int32))
+        overflow += jnp.maximum(kept - kcap * LANES, 0)
+        app = [op[:kcap * LANES].reshape(kcap, LANES)
+               for op in sorted_ops[1:]]
+
+        pidx = jnp.concatenate([p0, app[0]], axis=0)
+        rest0 = cols0
+        resta = app[1:]
+        ridx = jnp.concatenate([rest0[0], resta[0]], axis=0)
+        key = jnp.concatenate([rest0[1], resta[1]], axis=0)
+        if last:
+            ent = jnp.concatenate([rest0[2], resta[2]], axis=0)
+            ext = (jnp.concatenate([rest0[3], resta[3]], axis=0)
+                   if with_exit else None)
+        else:
+            xy = jnp.concatenate([rest0[2], resta[2]], axis=0)
+            zz = jnp.concatenate([rest0[3], resta[3]], axis=0)
+        # keep row count a multiple of 8 for the next level's grid
+        rows_n = pidx.shape[0]
+        pad = (-rows_n) % 8
+        if pad and not last:
+            padrow = jnp.full((pad, LANES), -1, jnp.int32)
+            pidx = jnp.concatenate([pidx, padrow], axis=0)
+            ridx = jnp.concatenate([ridx, jnp.zeros((pad, LANES),
+                                                    jnp.int32)], axis=0)
+            key = jnp.concatenate([key, jnp.zeros((pad, LANES),
+                                                  jnp.int32)], axis=0)
+            xy = jnp.concatenate([xy, jnp.zeros((pad, LANES),
+                                                jnp.int32)], axis=0)
+            zz = jnp.concatenate([zz, jnp.zeros((pad, LANES),
+                                                jnp.int32)], axis=0)
+
+    # ---- final: restore the reference's exact output order -------------
+    valid = pidx >= 0
+    count = jnp.sum(valid.astype(jnp.int32))
+    frid = jnp.where(valid, ridx, _INT_MAX).reshape(-1)
+    fkey = jnp.where(valid, key, _INT_MAX).reshape(-1)
+    ops = [frid, fkey, pidx.reshape(-1), ridx.reshape(-1), ent.reshape(-1)]
+    if with_exit:
+        ops.append(ext.reshape(-1))
+    so = jax.lax.sort(tuple(ops), num_keys=2, is_stable=False)
+    n = so[2].shape[0]
+    fin_valid = so[0] != _INT_MAX
+    out_ridx = jnp.where(fin_valid, so[3], -1)
+    out_pidx = jnp.where(fin_valid, so[2], -1)
+    depth_cols = [jnp.where(fin_valid, so[4], 0.)]
+    if with_exit:
+        depth_cols.append(jnp.where(fin_valid, so[5], 0.))
+    depth = jnp.stack(depth_cols, axis=-1)
+    return out_ridx, out_pidx, depth, count, overflow
+
+
+def schedule_from_counts(counts, margin=1.25):
+    """Static append-row schedule for :func:`traverse_banded` from the
+    per-level intersection counts a :func:`plan_raytrace` probe
+    observed: level l appends at most all of level l+1's survivors
+    (slot-0 keeps the rest in place), so ``ceil(count * margin / 128)``
+    rows bound the append with headroom."""
+    return tuple(int(-(-int(c * margin) // LANES)) for c in counts)

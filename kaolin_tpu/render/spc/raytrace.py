@@ -51,6 +51,7 @@ __all__ = [
     'exponential_integration',
     'generate_primary_rays',
     'primary_rays_fn',
+    'primary_rays_fn_cols',
     'generate_shadow_rays',
 ]
 
@@ -92,15 +93,15 @@ def _sgn(d):
     return jnp.where(jnp.signbit(d), 1., -1.).astype(d.dtype)
 
 
-# Measured gather regimes on this backend (see BASELINE.md): 1D gathers
-# from tables of roughly [4k, 262k] rows run at the ~13 ns/el floor;
-# tables past ~half a million rows fall onto a slow path (~25-50 ns/el).
-# _node_gather keeps every level's tree-walk gather in the fast regime by
-# slicing the level's own contiguous subtable (static bounds) and, for
-# levels wider than _GATHER_FAST_ROWS, splitting into masked chunk
-# gathers combined with where().
+# Measured gather regimes on this backend: a chained-scan microbench
+# (2026-08-20, 1M gathered elements) prices 1D gathers flat at
+# ~8.6 ns/el for tables of 4k..1M rows (~6.9 at 1k) — the earlier
+# ">512k slow path" did not reproduce. Chunk-splitting therefore only
+# pays once tables exceed the measured-flat range; the per-level
+# subtable slice is kept (neutral cost, and it pins the op to the
+# level's working set).
 _GATHER_MIN_ROWS = 4096
-_GATHER_FAST_ROWS = 262144
+_GATHER_FAST_ROWS = 1 << 21
 
 
 def _node_gather(node_tbl, pidx, lo, hi):
@@ -599,6 +600,48 @@ def primary_rays_fn(height, width, eye, at, up, fov, dtype=jnp.float32):
         dirs = b(dirs / nrm)
         o = jnp.broadcast_to(eye, dirs.shape).astype(dtype)
         return o, dirs
+
+    return fn
+
+
+def primary_rays_fn_cols(height, width, eye, at, up, fov,
+                         dtype=jnp.float32):
+    """Componentwise variant of :func:`primary_rays_fn` for the Pallas
+    traversal kernel: ``fn(ridx) -> (ox, oy, oz, dx, dy, dz)`` where
+    every output has ``ridx``'s shape (no trailing size-3 axis, which
+    would tile-pad 43x inside Mosaic — see CLAUDE.md). Same arithmetic
+    on the same scalars as :func:`primary_rays_fn`, traced into the
+    kernel; FMA clustering there is Mosaic's, so razor-edge slab
+    decisions may differ from the XLA path by 1 ulp."""
+    # identical scalar pipeline to primary_rays_fn (jnp ops), extracted
+    # to host floats so the closure embeds plain constants
+    eye_j = jnp.asarray(eye, dtype)
+    at_j = jnp.asarray(at, dtype)
+    up_j = jnp.asarray(up, dtype)
+    z_j = eye_j - at_j
+    z_j = z_j / jnp.linalg.norm(z_j)
+    x_j = jnp.cross(up_j, z_j)
+    x_j = x_j / jnp.linalg.norm(x_j)
+    y_j = jnp.cross(z_j, x_j)
+    eye, z, x, y = (np.asarray(v) for v in (eye_j, z_j, x_j, y_j))
+    tan = np.asarray(jnp.tan(jnp.asarray(fov, dtype) / 2.))
+    aspect = width / height
+
+    def fn(ridx):
+        px = ((ridx % width).astype(dtype) + 0.5) / width * 2. - 1.
+        py = ((ridx // width).astype(dtype) + 0.5) / height * 2. - 1.
+        dcols = []
+        for a in range(3):
+            # same association order as primary_rays_fn:
+            # ((px * x) * tan) * aspect  /  (py * y) * tan
+            t1 = ((px * dtype(x[a])) * tan) * aspect
+            t2 = (py * dtype(y[a])) * tan
+            dcols.append(t1 - t2 - dtype(z[a]))
+        nrm = jnp.sqrt(dcols[0] * dcols[0] + dcols[1] * dcols[1]
+                       + dcols[2] * dcols[2])
+        d = [c / nrm for c in dcols]
+        o = [jnp.full(ridx.shape, dtype(eye[a])) for a in range(3)]
+        return o[0], o[1], o[2], d[0], d[1], d[2]
 
     return fn
 

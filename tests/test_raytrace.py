@@ -244,3 +244,44 @@ def test_raytrace_level_offsets_parity(sphere_spc):
     assert int(a[3]) == int(b[3]) and int(a[3]) > 0
     for i in range(3):
         assert np.array_equal(np.asarray(a[i]), np.asarray(b[i]))
+
+
+def test_traverse_banded_exact(sphere_spc):
+    """The Pallas banded-frontier traversal (interpret mode on CPU)
+    reproduces the XLA path bit-exactly: same count, same ray/point
+    index streams in the same (ray-major, near-to-far DFS) order; the
+    octant-order emission + final (ray, path_key) sort restores
+    VOXEL_ORDER tie order exactly. Depths agree to a few ulp (the
+    kernel recomputes rays and the slab test with its own op
+    clustering)."""
+    from kaolin_tpu.render.spc.raytrace import (unbatched_raytrace_fixed,
+                                                primary_rays_fn,
+                                                primary_rays_fn_cols)
+    from kaolin_tpu.kernels.spc_traverse import (build_node_table_t,
+                                                 traverse_banded)
+    octree, ph, pyramid, exsum, level = sphere_spc
+    H = W = 32
+    cam = (jnp.asarray([0.3, 0.2, 2.5]), jnp.zeros(3),
+           jnp.asarray([0., 1., 0.]), jnp.pi / 3)
+    ray_fn = primary_rays_fn(H, W, *cam)
+    ray_cols = primary_rays_fn_cols(H, W, *cam)
+    num_rays = H * W
+    o, d = ray_fn(jnp.arange(num_rays, dtype=jnp.int32))
+    # the componentwise closure is bit-identical to the row closure
+    cols = ray_cols(jnp.arange(num_rays, dtype=jnp.int32))
+    assert np.array_equal(np.stack(cols[3:], -1), np.asarray(d))
+    assert np.array_equal(np.stack(cols[:3], -1), np.asarray(o))
+
+    tbl = build_node_table_t(octree, exsum)
+    for with_exit in (False, True):
+        ref = unbatched_raytrace_fixed(octree, ph, exsum, o, d, level,
+                                       num_rays * 64, with_exit=with_exit)
+        out = traverse_banded(tbl, num_rays, level, None, ray_cols,
+                              with_exit=with_exit, interpret=True)
+        rn, n, ov = int(ref[3]), int(out[3]), int(out[4])
+        assert ov == 0
+        assert n == rn and n > 0
+        assert np.array_equal(np.asarray(out[0][:n]), np.asarray(ref[0][:n]))
+        assert np.array_equal(np.asarray(out[1][:n]), np.asarray(ref[1][:n]))
+        np.testing.assert_allclose(np.asarray(out[2][:n]),
+                                   np.asarray(ref[2][:n]), atol=2e-6, rtol=0)
