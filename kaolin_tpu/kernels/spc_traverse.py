@@ -69,6 +69,12 @@ _GRAY_RANK = (0, 1, 2, 4, 3, 5, 6, 7)
 
 _INT_MAX = jnp.int32(0x7FFFFFFF)
 
+# Debug ablation switches (affect tracing; for perf forensics only).
+# gather: 'fori' (production) | 'unroll2' (two static chunks, wrong
+# when a row needs more — timing only) | 'const' (skip gather).
+# pack: False skips the slot-packing network (wrong results).
+_DBG = {'gather': 'fori', 'pack': True}
+
 
 def build_node_table_t(octree, exsum):
     """Transposed node table for the traversal kernel: (8, Npad) f32,
@@ -112,7 +118,7 @@ def _ray_cols_aabb(ox, oy, oz, dx, dy, dz, ivx, ivy, ivz,
     return jnp.where(inside, winding, dist)
 
 
-def _level_kernel_body(l, last, with_exit, ray_fn_cols,
+def _level_kernel_body(l, last, with_exit, ray_fn_cols, ray_refs,
                        wblk_ref, cbase_ref, cnum_ref,
                        pidx_ref, ridx_ref, xy_ref, zz_ref, key_ref,
                        tbl_a, tbl_b, tbl_c, *out_refs):
@@ -153,8 +159,15 @@ def _level_kernel_body(l, last, with_exit, ray_fn_cols,
                 vals, onehot, precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=f32)
 
-        acc = jax.lax.fori_loop(0, cnum_ref[0, i * 8 + rr], chunk_body,
-                                jnp.zeros((8, LANES), f32))
+        if _DBG['gather'] == 'fori':
+            acc = jax.lax.fori_loop(0, cnum_ref[0, i * 8 + rr], chunk_body,
+                                    jnp.zeros((8, LANES), f32))
+        elif _DBG['gather'] == 'unroll2':
+            acc = jnp.zeros((8, LANES), f32)
+            acc = chunk_body(0, acc)
+            acc = chunk_body(1, acc)
+        else:
+            acc = jnp.ones((8, LANES), f32) * 3.0
         byte_rows.append(acc[0:1, :])
         base_rows.append(acc[1:2, :])
     node_byte = jnp.concatenate(byte_rows, axis=0).astype(jnp.int32)
@@ -177,8 +190,16 @@ def _level_kernel_body(l, last, with_exit, ray_fn_cols,
     vcy = r * (2. * py + 1.) - 1.
     vcz = r * (2. * pz + 1.) - 1.
 
-    ox, oy, oz, dx, dy, dz = ray_fn_cols(ridx)
-    ivx, ivy, ivz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+    if ray_fn_cols is not None:
+        ox, oy, oz, dx, dy, dz = ray_fn_cols(ridx)
+        ivx, ivy, ivz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+    else:
+        # xla_rays mode: o, d, 1/d computed per level by XLA (the same
+        # graph as the XLA traversal path — bit-identical values) and
+        # streamed in as 9 extra frontier planes
+        ox, oy, oz = (ray_refs[a][:, :] for a in range(3))
+        dx, dy, dz = (ray_refs[a][:, :] for a in range(3, 6))
+        ivx, ivy, ivz = (ray_refs[a][:, :] for a in range(6, 9))
     # signbit(x) ? 1 : -1
     sx = jnp.where(jnp.signbit(dx), dt(1.), dt(-1.))
     sy = jnp.where(jnp.signbit(dy), dt(1.), dt(-1.))
@@ -245,7 +266,7 @@ def _level_kernel_body(l, last, with_exit, ray_fn_cols,
     # when (low = dead, high = alive), so alive relative (id) order is
     # preserved. 8 rounds close any gap pattern.
     names = list(planes[0].keys())
-    for _round in range(8):
+    for _round in range(8 if _DBG['pack'] else 0):
         start = _round % 2
         for a in range(start, 7, 2):
             b = a + 1
@@ -270,7 +291,9 @@ def _level_kernel_body(l, last, with_exit, ray_fn_cols,
 def make_level_call(l, steps, last, with_exit, ray_fn_cols, npad,
                     interpret=False):
     """pallas_call for one traversal level over ``steps`` grid steps
-    (8 frontier rows each)."""
+    (8 frontier rows each). ``ray_fn_cols=None`` selects xla_rays mode:
+    nine extra (rows, 128) f32 inputs carry o / d / 1-over-d planes."""
+    xla_rays = ray_fn_cols is None
     rows = steps * 8
     i32 = jnp.int32
     f32 = jnp.float32
@@ -288,7 +311,15 @@ def make_level_call(l, steps, last, with_exit, ray_fn_cols, npad,
 
     def kernel(wblk_ref, cbase_ref, cnum_ref,
                pidx_ref, ridx_ref, xy_ref, zz_ref, key_ref,
-               tbl_a, tbl_b, tbl_c, *outs):
+               *rest):
+        if xla_rays:
+            ray_refs = rest[:9]
+            tbl_a, tbl_b, tbl_c = rest[9:12]
+            outs = rest[12:]
+        else:
+            ray_refs = None
+            tbl_a, tbl_b, tbl_c = rest[0:3]
+            outs = rest[3:]
         # reorder outs into the body's fixed slot layout
         named = {}
         named['pidx'], named['ridx'], named['key'] = outs[0], outs[1], outs[2]
@@ -302,7 +333,7 @@ def make_level_call(l, steps, last, with_exit, ray_fn_cols, npad,
         else:
             named['xy'], named['zz'] = outs[3], outs[4]
             named['ent'] = named['ext'] = None
-        _level_kernel_body(l, last, with_exit, ray_fn_cols,
+        _level_kernel_body(l, last, with_exit, ray_fn_cols, ray_refs,
                            wblk_ref, cbase_ref, cnum_ref,
                            pidx_ref, ridx_ref, xy_ref, zz_ref, key_ref,
                            tbl_a, tbl_b, tbl_c,
@@ -326,7 +357,7 @@ def make_level_call(l, steps, last, with_exit, ray_fn_cols, npad,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(steps,),
-        in_specs=[frontier_spec] * 5 + [
+        in_specs=[frontier_spec] * (14 if xla_rays else 5) + [
             pl.BlockSpec((8, W_BLK), tbl_map_a, memory_space=pltpu.VMEM),
             pl.BlockSpec((8, W_BLK), tbl_map_b, memory_space=pltpu.VMEM),
             pl.BlockSpec((8, W_BLK), tbl_map_c, memory_space=pltpu.VMEM),
@@ -367,9 +398,12 @@ def _prepass(pidx_rows, nblk):
 
 @functools.partial(jax.jit, static_argnames=(
     'num_rays', 'level', 'schedule', 'with_exit', 'ray_fn_cols',
-    'interpret'))
-def traverse_banded(tbl_t, num_rays, level, schedule, ray_fn_cols,
-                    with_exit=False, interpret=False):
+    'ray_fn', 'interpret', 'smax_sort', 'debug_no_append',
+    'debug_no_final_sort'))
+def traverse_banded(tbl_t, num_rays, level, schedule, ray_fn_cols=None,
+                    ray_fn=None, origin=None, direction=None,
+                    with_exit=False, interpret=False, smax_sort=4,
+                    debug_no_append=False, debug_no_final_sort=False):
     """Full SPC traversal on the banded-frontier Pallas kernel.
 
     Args:
@@ -384,7 +418,14 @@ def traverse_banded(tbl_t, num_rays, level, schedule, ray_fn_cols,
             buffer); from :func:`plan_traverse_banded`.
         ray_fn_cols: static callable ``ridx tile -> (ox, oy, oz, dx,
             dy, dz)`` tiles — componentwise ray recompute, traced into
-            the kernel.
+            the kernel (fastest; Mosaic's own sqrt/divide rounding).
+        ray_fn: static row-form closure (``primary_rays_fn``) — rays
+            and reciprocals are recomputed per level by XLA (the same
+            graph as the XLA path, so slab inputs are bit-identical to
+            it) and streamed into the kernel as extra planes.
+        origin, direction: (num_rays, 3) arrays — the general API;
+            per-level XLA gathers by ray index feed the kernel.
+            Exactly one ray source must be given.
         with_exit: also return exit depths.
         interpret: run the kernels in interpreter mode (CPU tests).
 
@@ -394,8 +435,23 @@ def traverse_banded(tbl_t, num_rays, level, schedule, ray_fn_cols,
         reference's exact order (ray-major, near-to-far DFS).
     """
     assert level >= 1 and level <= 10, level
+    assert (ray_fn_cols is not None) + (ray_fn is not None) + \
+        (origin is not None) == 1, 'give exactly one ray source'
     npad = tbl_t.shape[1]
     nblk = npad // W_BLK
+
+    def ray_planes(ridx):
+        """(o, d, 1/d) planes from the XLA-side ray source."""
+        rid = ridx.reshape(-1)
+        if ray_fn is not None:
+            o_rows, d_rows = ray_fn(rid)
+        else:
+            ci = jnp.clip(rid, 0, origin.shape[0] - 1)
+            o_rows, d_rows = origin[ci], direction[ci]
+        iv_rows = 1.0 / d_rows
+        shape = ridx.shape
+        return tuple(a[:, c].reshape(shape)
+                     for a in (o_rows, d_rows, iv_rows) for c in range(3))
 
     r0 = -(-num_rays // LANES)
     r0 = -(-r0 // 8) * 8
@@ -416,8 +472,12 @@ def traverse_banded(tbl_t, num_rays, level, schedule, ray_fn_cols,
         overflow += oflow
         call = make_level_call(l, steps, last, with_exit, ray_fn_cols,
                                npad, interpret)
-        outs = call(wblk, cbase, cnum, pidx, ridx, xy, zz, key,
-                    tbl_t, tbl_t, tbl_t)
+        if ray_fn_cols is None:
+            outs = call(wblk, cbase, cnum, pidx, ridx, xy, zz, key,
+                        *ray_planes(ridx), tbl_t, tbl_t, tbl_t)
+        else:
+            outs = call(wblk, cbase, cnum, pidx, ridx, xy, zz, key,
+                        tbl_t, tbl_t, tbl_t)
         o_pidx, o_ridx, o_key = outs[0], outs[1], outs[2]
         if last:
             o_ent = outs[3]
@@ -427,13 +487,20 @@ def traverse_banded(tbl_t, num_rays, level, schedule, ray_fn_cols,
             o_xy, o_zz = outs[3], outs[4]
             o_ent = o_ext = None
 
-        # ---- slot-0 rows stay in place; slots 1..7 sort-append ----------
+        # ---- slot-0 rows stay in place; slots 1..smax_sort-1 sort-append.
+        # Slots past smax_sort are statically assumed empty (a parent
+        # with > smax_sort surviving children is the rare axis-aligned
+        # case); any survivor there raises the overflow flag and the
+        # caller falls back to the XLA path.
         def split(a):
             if a is None:
                 return None, None
             t = a.reshape(rows, 8, LANES)
-            return t[:, 0], t[:, 1:].reshape(-1)
+            return t[:, 0], t[:, 1:smax_sort].reshape(-1)
 
+        if smax_sort < 8:
+            hi = o_pidx.reshape(rows, 8, LANES)[:, smax_sort:]
+            overflow += jnp.sum((hi >= 0).astype(jnp.int32))
         (p0, p_rest) = split(o_pidx)
         (r0_, r_rest) = split(o_ridx)
         (k0, k_rest) = split(o_key)
@@ -453,16 +520,22 @@ def traverse_banded(tbl_t, num_rays, level, schedule, ray_fn_cols,
             cols_rest += [xy_rest, zz_rest]
             cols0 += [xy0, zz0]
 
-        kcap = int(schedule[l]) if schedule is not None else rows * 7
-        kcap = min(kcap, rows * 7)
-        sort_key = jnp.where(p_rest < 0, _INT_MAX, p_rest)
-        sorted_ops = jax.lax.sort(
-            (sort_key, p_rest) + tuple(cols_rest), num_keys=1,
-            is_stable=False)
-        kept = jnp.sum((sorted_ops[0] != _INT_MAX).astype(jnp.int32))
-        overflow += jnp.maximum(kept - kcap * LANES, 0)
-        app = [op[:kcap * LANES].reshape(kcap, LANES)
-               for op in sorted_ops[1:]]
+        kcap = (int(schedule[l]) if schedule is not None
+                else rows * (smax_sort - 1))
+        kcap = min(kcap, rows * (smax_sort - 1))
+        if debug_no_append:
+            kcap = 0
+            app = [jnp.zeros((0, LANES), op.dtype)
+                   for op in [p_rest] + cols_rest]
+        else:
+            sort_key = jnp.where(p_rest < 0, _INT_MAX, p_rest)
+            sorted_ops = jax.lax.sort(
+                (sort_key, p_rest) + tuple(cols_rest), num_keys=1,
+                is_stable=False)
+            kept = jnp.sum((sorted_ops[0] != _INT_MAX).astype(jnp.int32))
+            overflow += jnp.maximum(kept - kcap * LANES, 0)
+            app = [op[:kcap * LANES].reshape(kcap, LANES)
+                   for op in sorted_ops[1:]]
 
         pidx = jnp.concatenate([p0, app[0]], axis=0)
         rest0 = cols0
@@ -499,7 +572,10 @@ def traverse_banded(tbl_t, num_rays, level, schedule, ray_fn_cols,
     ops = [frid, fkey, pidx.reshape(-1), ridx.reshape(-1), ent.reshape(-1)]
     if with_exit:
         ops.append(ext.reshape(-1))
-    so = jax.lax.sort(tuple(ops), num_keys=2, is_stable=False)
+    if debug_no_final_sort:
+        so = tuple(ops)
+    else:
+        so = jax.lax.sort(tuple(ops), num_keys=2, is_stable=False)
     n = so[2].shape[0]
     fin_valid = so[0] != _INT_MAX
     out_ridx = jnp.where(fin_valid, so[3], -1)
