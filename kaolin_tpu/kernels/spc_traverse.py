@@ -56,12 +56,12 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 # Table window block width: the kernel fetches three adjacent blocks
 # per step, guaranteeing 2*W_BLK+1 ids of coverage past the rounded-down
-# window start. A step of 8x128 parents emits at most 8192 *consecutive*
-# children, but append-row parents carry id gaps, so real spans run
-# (id-spread x children-per-node); 16385 guaranteed coverage absorbs the
-# observed spread, and wider still raises the overflow flag (caller
-# falls back to the XLA path).
-W_BLK = 8192
+# window start. The frontier is re-densified and globally id-sorted
+# every level, so an 8x128-parent step reads a nearly-consecutive id
+# range (~a few hundred to ~3k ids); 4097 guaranteed coverage leaves
+# headroom, and wider spans (frontiers far sparser than the level's
+# node table) raise the overflow flag (caller falls back to XLA).
+W_BLK = 2048
 CHUNK = 512           # one-hot gather chunk (sublanes); divides W_BLK
 
 # near-to-far rank of (octant ^ ray-code); self-inverse permutation
@@ -118,7 +118,7 @@ def _ray_cols_aabb(ox, oy, oz, dx, dy, dz, ivx, ivy, ivz,
     return jnp.where(inside, winding, dist)
 
 
-def _level_kernel_body(l, last, with_exit, ray_fn_cols, ray_refs,
+def _level_kernel_body(l, last, with_exit, ray_fn_cols, ray_refs, pack,
                        wblk_ref, cbase_ref, cnum_ref,
                        pidx_ref, ridx_ref, xy_ref, zz_ref, key_ref,
                        tbl_a, tbl_b, tbl_c, *out_refs):
@@ -265,8 +265,11 @@ def _level_kernel_body(l, last, with_exit, ray_fn_cols, ray_refs,
     # odd-even transposition on the 8 octant planes; a swap only fires
     # when (low = dead, high = alive), so alive relative (id) order is
     # preserved. 8 rounds close any gap pattern.
+    # slot-packing matters only when the glue sorts a slot prefix
+    # (smax_sort < 8): survivors must sit in the low slots. With all 8
+    # planes sorted, octant-order holes are already ascending-with-holes.
     names = list(planes[0].keys())
-    for _round in range(8 if _DBG['pack'] else 0):
+    for _round in range(8 if (pack and _DBG['pack']) else 0):
         start = _round % 2
         for a in range(start, 7, 2):
             b = a + 1
@@ -289,7 +292,7 @@ def _level_kernel_body(l, last, with_exit, ray_fn_cols, ray_refs,
 
 
 def make_level_call(l, steps, last, with_exit, ray_fn_cols, npad,
-                    interpret=False):
+                    interpret=False, pack=True):
     """pallas_call for one traversal level over ``steps`` grid steps
     (8 frontier rows each). ``ray_fn_cols=None`` selects xla_rays mode:
     nine extra (rows, 128) f32 inputs carry o / d / 1-over-d planes."""
@@ -334,6 +337,7 @@ def make_level_call(l, steps, last, with_exit, ray_fn_cols, npad,
             named['xy'], named['zz'] = outs[3], outs[4]
             named['ent'] = named['ext'] = None
         _level_kernel_body(l, last, with_exit, ray_fn_cols, ray_refs,
+                           pack,
                            wblk_ref, cbase_ref, cnum_ref,
                            pidx_ref, ridx_ref, xy_ref, zz_ref, key_ref,
                            tbl_a, tbl_b, tbl_c,
@@ -402,7 +406,7 @@ def _prepass(pidx_rows, nblk):
     'debug_no_final_sort'))
 def traverse_banded(tbl_t, num_rays, level, schedule, ray_fn_cols=None,
                     ray_fn=None, origin=None, direction=None,
-                    with_exit=False, interpret=False, smax_sort=4,
+                    with_exit=False, interpret=False, smax_sort=8,
                     debug_no_append=False, debug_no_final_sort=False):
     """Full SPC traversal on the banded-frontier Pallas kernel.
 
@@ -471,7 +475,7 @@ def traverse_banded(tbl_t, num_rays, level, schedule, ray_fn_cols=None,
         wblk, cbase, cnum, oflow = _prepass(pidx, nblk)
         overflow += oflow
         call = make_level_call(l, steps, last, with_exit, ray_fn_cols,
-                               npad, interpret)
+                               npad, interpret, pack=smax_sort < 8)
         if ray_fn_cols is None:
             outs = call(wblk, cbase, cnum, pidx, ridx, xy, zz, key,
                         *ray_planes(ridx), tbl_t, tbl_t, tbl_t)
@@ -487,82 +491,71 @@ def traverse_banded(tbl_t, num_rays, level, schedule, ray_fn_cols=None,
             o_xy, o_zz = outs[3], outs[4]
             o_ent = o_ext = None
 
-        # ---- slot-0 rows stay in place; slots 1..smax_sort-1 sort-append.
-        # Slots past smax_sort are statically assumed empty (a parent
-        # with > smax_sort surviving children is the rare axis-aligned
-        # case); any survivor there raises the overflow flag and the
-        # caller falls back to the XLA path.
-        def split(a):
-            if a is None:
-                return None, None
-            t = a.reshape(rows, 8, LANES)
-            return t[:, 0], t[:, 1:smax_sort].reshape(-1)
+        # ---- full re-densify: one NEARLY-SORTED sort per level ----------
+        # The slotted output read parent-major, slot-minor is already
+        # ascending in child id wherever valid (slot-packing emits
+        # octant-ascending per parent; the frontier rows are globally
+        # id-sorted), with INT_MAX holes interspersed — exactly the
+        # nearly-sorted pattern this backend's sort prices at a fraction
+        # of a random-key sort. Sorting slots 0..smax_sort-1 compacts
+        # AND re-sorts the whole frontier, so the next level starts
+        # dense (fewer kernel rows), globally banded (narrow windows),
+        # and free of slot-lineage span growth. Survivors in planes
+        # past smax_sort raise the overflow flag (a parent with more
+        # than smax_sort surviving children; smax_sort=8 never does).
+        def interleave(a):
+            # (rows*8, LANES) slotted -> parent-major, slot-minor flat
+            t = a.reshape(rows, 8, LANES)[:, :smax_sort]
+            return t.transpose(0, 2, 1).reshape(-1)
 
         if smax_sort < 8:
             hi = o_pidx.reshape(rows, 8, LANES)[:, smax_sort:]
             overflow += jnp.sum((hi >= 0).astype(jnp.int32))
-        (p0, p_rest) = split(o_pidx)
-        (r0_, r_rest) = split(o_ridx)
-        (k0, k_rest) = split(o_key)
-        cols_rest = [r_rest, k_rest]
-        cols0 = [r0_, k0]
+        cols = [o_ridx, o_key]
         if last:
-            e0, e_rest = split(o_ent)
-            cols_rest.append(e_rest)
-            cols0.append(e0)
+            cols.append(o_ent)
             if with_exit:
-                x0, x_rest = split(o_ext)
-                cols_rest.append(x_rest)
-                cols0.append(x0)
+                cols.append(o_ext)
         else:
-            xy0, xy_rest = split(o_xy)
-            zz0, zz_rest = split(o_zz)
-            cols_rest += [xy_rest, zz_rest]
-            cols0 += [xy0, zz0]
+            cols += [o_xy, o_zz]
+        p_all = interleave(o_pidx)
+        cols = [interleave(c) for c in cols]
 
         kcap = (int(schedule[l]) if schedule is not None
-                else rows * (smax_sort - 1))
-        kcap = min(kcap, rows * (smax_sort - 1))
+                else rows * smax_sort)
+        kcap = min(kcap, rows * smax_sort)
         if debug_no_append:
-            kcap = 0
-            app = [jnp.zeros((0, LANES), op.dtype)
-                   for op in [p_rest] + cols_rest]
+            kcap = min(kcap, rows)
+            keep = [p_all[:kcap * LANES]] + [c[:kcap * LANES]
+                                             for c in cols]
         else:
-            sort_key = jnp.where(p_rest < 0, _INT_MAX, p_rest)
+            sort_key = jnp.where(p_all < 0, _INT_MAX, p_all)
             sorted_ops = jax.lax.sort(
-                (sort_key, p_rest) + tuple(cols_rest), num_keys=1,
+                (sort_key, p_all) + tuple(cols), num_keys=1,
                 is_stable=False)
             kept = jnp.sum((sorted_ops[0] != _INT_MAX).astype(jnp.int32))
             overflow += jnp.maximum(kept - kcap * LANES, 0)
-            app = [op[:kcap * LANES].reshape(kcap, LANES)
-                   for op in sorted_ops[1:]]
+            keep = [op[:kcap * LANES] for op in sorted_ops[1:]]
 
-        pidx = jnp.concatenate([p0, app[0]], axis=0)
-        rest0 = cols0
-        resta = app[1:]
-        ridx = jnp.concatenate([rest0[0], resta[0]], axis=0)
-        key = jnp.concatenate([rest0[1], resta[1]], axis=0)
+        # next-level frontier rows (multiple of 8 for the grid)
+        rows_n = -(-kcap // 8) * 8
+        pad = rows_n * LANES - kcap * LANES
+
+        def to_rows(a, fill):
+            if pad:
+                a = jnp.concatenate(
+                    [a, jnp.full((pad,), fill, a.dtype)])
+            return a.reshape(rows_n, LANES)
+
+        pidx = to_rows(keep[0], -1)
+        ridx = to_rows(keep[1], 0)
+        key = to_rows(keep[2], 0)
         if last:
-            ent = jnp.concatenate([rest0[2], resta[2]], axis=0)
-            ext = (jnp.concatenate([rest0[3], resta[3]], axis=0)
-                   if with_exit else None)
+            ent = to_rows(keep[3], 0.)
+            ext = to_rows(keep[4], 0.) if with_exit else None
         else:
-            xy = jnp.concatenate([rest0[2], resta[2]], axis=0)
-            zz = jnp.concatenate([rest0[3], resta[3]], axis=0)
-        # keep row count a multiple of 8 for the next level's grid
-        rows_n = pidx.shape[0]
-        pad = (-rows_n) % 8
-        if pad and not last:
-            padrow = jnp.full((pad, LANES), -1, jnp.int32)
-            pidx = jnp.concatenate([pidx, padrow], axis=0)
-            ridx = jnp.concatenate([ridx, jnp.zeros((pad, LANES),
-                                                    jnp.int32)], axis=0)
-            key = jnp.concatenate([key, jnp.zeros((pad, LANES),
-                                                  jnp.int32)], axis=0)
-            xy = jnp.concatenate([xy, jnp.zeros((pad, LANES),
-                                                jnp.int32)], axis=0)
-            zz = jnp.concatenate([zz, jnp.zeros((pad, LANES),
-                                                jnp.int32)], axis=0)
+            xy = to_rows(keep[3], 0)
+            zz = to_rows(keep[4], 0)
 
     # ---- final: restore the reference's exact output order -------------
     valid = pidx >= 0
