@@ -491,22 +491,21 @@ def traverse_banded(tbl_t, num_rays, level, schedule, ray_fn_cols=None,
             o_xy, o_zz = outs[3], outs[4]
             o_ent = o_ext = None
 
-        # ---- full re-densify: one NEARLY-SORTED sort per level ----------
-        # The slotted output read parent-major, slot-minor is already
-        # ascending in child id wherever valid (slot-packing emits
-        # octant-ascending per parent; the frontier rows are globally
-        # id-sorted), with INT_MAX holes interspersed — exactly the
-        # nearly-sorted pattern this backend's sort prices at a fraction
-        # of a random-key sort. Sorting slots 0..smax_sort-1 compacts
-        # AND re-sorts the whole frontier, so the next level starts
-        # dense (fewer kernel rows), globally banded (narrow windows),
-        # and free of slot-lineage span growth. Survivors in planes
+        # ---- full re-densify: ONE sort per level -------------------------
+        # Sorting all slotted-output slots by child id compacts AND
+        # re-sorts the whole frontier, so the next level starts dense
+        # (fewer kernel rows), globally id-sorted (narrow windows), and
+        # free of slot-lineage span growth. Measured on this backend
+        # (BASELINE.md): sort cost is ~3 ms fixed + ~0.5 ns/row and does
+        # NOT depend on input order — so the slot planes are sorted in
+        # their native layout (no interleave transposes: each (rows, 8,
+        # 128) -> (rows, 128, 8) relayout costs another ~3 ms fixed).
+        # Ties (one node hit by many rays) land arbitrarily; the final
+        # (ray, path_key) sort fixes output order. Survivors in planes
         # past smax_sort raise the overflow flag (a parent with more
         # than smax_sort surviving children; smax_sort=8 never does).
         def interleave(a):
-            # (rows*8, LANES) slotted -> parent-major, slot-minor flat
-            t = a.reshape(rows, 8, LANES)[:, :smax_sort]
-            return t.transpose(0, 2, 1).reshape(-1)
+            return a.reshape(rows, 8, LANES)[:, :smax_sort].reshape(-1)
 
         if smax_sort < 8:
             hi = o_pidx.reshape(rows, 8, LANES)[:, smax_sort:]
