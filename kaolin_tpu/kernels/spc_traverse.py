@@ -26,17 +26,22 @@ by re-shaping the frontier so neither is needed:
   ``(8, CHUNK) @ (CHUNK, 128)`` one-hot matmul — iota-vs-id compare
   builds the one-hot, f32-HIGHEST keeps integer payloads < 2**24 exact.
 
-* **Compaction is slot-packing, not sorting.** Each parent's 8 candidate
-  slots pack survivors to the slot-0 end with an 8-deep stable
-  transposition network (vectorized over 128 lanes). Slot-0 rows pass to
-  the next level in place (holes ride along, masked by ``pidx < 0`` —
-  the density fixpoint stays ~70-85%); slots 1..SMAX-1 are compacted by
-  ONE small XLA sort (~C/2 rows, keyed by node id so bands stay narrow)
-  and appended as new rows.
+* **One transposeless sort per level re-densifies the frontier.** The
+  slotted output is sorted by child id in its native slot-plane layout
+  (sort cost on this backend is ~3 ms fixed + ~0.5 ns/row and does NOT
+  depend on input order or operand count — measured, see BASELINE.md —
+  so no interleave transposes, which cost another ~3 ms fixed each).
+  The next level therefore starts dense (fewest kernel rows), globally
+  id-sorted (narrow windows), and free of slot-lineage span growth.
+  With ``smax_sort < 8`` an in-kernel packing network first moves
+  survivors to the low slots so only a slot prefix needs sorting.
 
-Per level the kernel does gather + slab tests + emission + packing in
-one pass over VMEM-resident tiles; XLA between levels only reduces
-per-row min/max ids and runs the small append sort.
+Per level the kernel does gather + slab tests + emission in one pass
+over VMEM-resident tiles; XLA between levels reduces per-row min/max
+ids and runs the one re-densify sort. The measured remaining gap to
+the XLA path is exactly those per-level sort fixed costs; the verified
+next step is in-kernel cursor compaction (sequential-grid SMEM cursor
++ dynamic-offset overlapping DMA writes) which removes them.
 
 Exactness: the slab test is the same arithmetic as the XLA path
 (``_ray_aabb``); Mosaic's instruction selection may differ from XLA's
