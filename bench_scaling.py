@@ -46,6 +46,9 @@ def main():
                         "workload (default: 'xla' on virtual CPU "
                         "devices, 'auto' on TPU — 'auto' exercises the "
                         "production Pallas-kernels-under-shard_map path)")
+    p.add_argument('--tpu', action='store_true',
+                   help='run on the real TPU device(s) instead of '
+                        'virtual CPU devices (single-process)')
     p.add_argument('--multihost', action='store_true',
                    help='initialize the JAX multi-process runtime '
                         '(env: JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES, '
@@ -53,11 +56,12 @@ def main():
                         'works single-process as a no-op')
     args = p.parse_args()
 
-    if args.multihost:
+    if args.multihost or args.tpu:
         args.force_cpu = False
 
     # env must be set BEFORE jax initializes
-    if args.force_cpu or (args.force_cpu is None and not args.multihost):
+    if args.force_cpu or (args.force_cpu is None and not args.multihost
+                          and not args.tpu):
         os.environ['XLA_FLAGS'] = (
             os.environ.get('XLA_FLAGS', '')
             + f' --xla_force_host_platform_device_count={args.devices}')
@@ -67,7 +71,7 @@ def main():
         proc_id, proc_count = init_distributed()
         print(f'# multihost: process {proc_id}/{proc_count}, '
               f'{jax.device_count()} global devices', file=sys.stderr)
-    elif args.force_cpu or args.force_cpu is None:
+    elif args.force_cpu or (args.force_cpu is None and not args.tpu):
         jax.config.update('jax_platforms', 'cpu')
 
     import jax.numpy as jnp

@@ -66,8 +66,11 @@ LANES = 128
 # range (~a few hundred to ~3k ids); 4097 guaranteed coverage leaves
 # headroom, and wider spans (frontiers far sparser than the level's
 # node table) raise the overflow flag (caller falls back to XLA).
-W_BLK = 2048
+W_BLK = 4096
 CHUNK = 512           # one-hot gather chunk (sublanes); divides W_BLK
+# frontier rows per grid step: amortizes the ~10 us per-step machinery
+# (spec DMA setup etc.) measured at 8 rows/step
+RSTEP = 32
 
 # near-to-far rank of (octant ^ ray-code); self-inverse permutation
 _GRAY_RANK = (0, 1, 2, 4, 3, 5, 6, 7)
@@ -137,11 +140,11 @@ def _level_kernel_body(l, last, with_exit, ray_fn_cols, ray_refs, pack,
     byte_rows = []
     base_rows = []
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, LANES), 0)
-    for rr in range(8):
+    for rr in range(RSTEP):
         pidx_r = pidx_ref[rr, :].reshape(1, LANES)
 
         def chunk_body(k, acc, pidx_r=pidx_r, rr=rr):
-            cb = cbase_ref[0, i * 8 + rr] + k      # abs chunk idx (CHUNK units)
+            cb = cbase_ref[0, i * RSTEP + rr] + k  # abs chunk idx (CHUNK units)
             off_a = cb * CHUNK - wblk * W_BLK      # lane offset in block A
             in_a = off_a < W_BLK
             # offsets are CHUNK-multiples by construction (clip bounds
@@ -165,7 +168,8 @@ def _level_kernel_body(l, last, with_exit, ray_fn_cols, ray_refs, pack,
                 preferred_element_type=f32)
 
         if _DBG['gather'] == 'fori':
-            acc = jax.lax.fori_loop(0, cnum_ref[0, i * 8 + rr], chunk_body,
+            acc = jax.lax.fori_loop(0, cnum_ref[0, i * RSTEP + rr],
+                                    chunk_body,
                                     jnp.zeros((8, LANES), f32))
         elif _DBG['gather'] == 'unroll2':
             acc = jnp.zeros((8, LANES), f32)
@@ -292,7 +296,7 @@ def _level_kernel_body(l, last, with_exit, ray_fn_cols, ray_refs, pack,
     for s in range(8):
         for nm in names:
             ref = out[nm]
-            for rr in range(8):
+            for rr in range(RSTEP):
                 ref[rr * 8 + s, :] = planes[s][nm][rr, :]
 
 
@@ -302,7 +306,7 @@ def make_level_call(l, steps, last, with_exit, ray_fn_cols, npad,
     (8 frontier rows each). ``ray_fn_cols=None`` selects xla_rays mode:
     nine extra (rows, 128) f32 inputs carry o / d / 1-over-d planes."""
     xla_rays = ray_fn_cols is None
-    rows = steps * 8
+    rows = steps * RSTEP
     i32 = jnp.int32
     f32 = jnp.float32
     out_shapes = [jax.ShapeDtypeStruct((rows * 8, LANES), i32)  # pidx
@@ -350,7 +354,7 @@ def make_level_call(l, steps, last, with_exit, ray_fn_cols, npad,
                            named['xy'], named['zz'],
                            named['ent'], named['ext'])
 
-    frontier_spec = pl.BlockSpec((8, LANES), lambda i, *_: (i, 0),
+    frontier_spec = pl.BlockSpec((RSTEP, LANES), lambda i, *_: (i, 0),
                                  memory_space=pltpu.VMEM)
     nblk = npad // W_BLK
 
@@ -371,7 +375,7 @@ def make_level_call(l, steps, last, with_exit, ray_fn_cols, npad,
             pl.BlockSpec((8, W_BLK), tbl_map_b, memory_space=pltpu.VMEM),
             pl.BlockSpec((8, W_BLK), tbl_map_c, memory_space=pltpu.VMEM),
         ],
-        out_specs=[pl.BlockSpec((64, LANES), lambda i, *_: (i, 0),
+        out_specs=[pl.BlockSpec((RSTEP * 8, LANES), lambda i, *_: (i, 0),
                                 memory_space=pltpu.VMEM)] * nouts,
     )
     return pl.pallas_call(
@@ -391,8 +395,8 @@ def _prepass(pidx_rows, nblk):
     rmin = jnp.min(jnp.where(valid, pidx_rows, _INT_MAX), axis=1)
     rmax = jnp.max(jnp.where(valid, pidx_rows, -1), axis=1)
     empty = rmax < 0
-    smin = jnp.min(rmin.reshape(-1, 8), axis=1)        # INT_MAX if all empty
-    smax = jnp.max(rmax.reshape(-1, 8), axis=1)
+    smin = jnp.min(rmin.reshape(-1, RSTEP), axis=1)    # INT_MAX if all empty
+    smax = jnp.max(rmax.reshape(-1, RSTEP), axis=1)
     wblk = jnp.clip(smin // W_BLK, 0, nblk - 2)
     covered = (smax < (wblk + 3) * W_BLK) | (smax < 0)
     overflow = jnp.sum(jnp.logical_not(covered).astype(jnp.int32))
@@ -463,7 +467,7 @@ def traverse_banded(tbl_t, num_rays, level, schedule, ray_fn_cols=None,
                      for a in (o_rows, d_rows, iv_rows) for c in range(3))
 
     r0 = -(-num_rays // LANES)
-    r0 = -(-r0 // 8) * 8
+    r0 = -(-r0 // RSTEP) * RSTEP
     lane_iota = jnp.arange(r0 * LANES, dtype=jnp.int32).reshape(r0, LANES)
     in_range = lane_iota < num_rays
     pidx = jnp.where(in_range, 0, -1)
@@ -476,7 +480,7 @@ def traverse_banded(tbl_t, num_rays, level, schedule, ray_fn_cols=None,
     for l in range(level):
         last = l == level - 1
         rows = pidx.shape[0]
-        steps = rows // 8
+        steps = rows // RSTEP
         wblk, cbase, cnum, oflow = _prepass(pidx, nblk)
         overflow += oflow
         call = make_level_call(l, steps, last, with_exit, ray_fn_cols,
@@ -541,8 +545,8 @@ def traverse_banded(tbl_t, num_rays, level, schedule, ray_fn_cols=None,
             overflow += jnp.maximum(kept - kcap * LANES, 0)
             keep = [op[:kcap * LANES] for op in sorted_ops[1:]]
 
-        # next-level frontier rows (multiple of 8 for the grid)
-        rows_n = -(-kcap // 8) * 8
+        # next-level frontier rows (multiple of RSTEP for the grid)
+        rows_n = -(-kcap // RSTEP) * RSTEP
         pad = rows_n * LANES - kcap * LANES
 
         def to_rows(a, fill):
