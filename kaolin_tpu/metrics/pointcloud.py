@@ -56,10 +56,17 @@ def _nearest(p1, p2, backend='auto'):
     p2 = jax.lax.stop_gradient(p2)
     if backend == 'auto':
         backend = 'pallas' if jax.default_backend() == 'tpu' else 'xla'
-    if backend in ('pallas', 'pallas_interpret'):
-        from ..kernels.nn_distance import nearest_idx_pallas
-        return nearest_idx_pallas(p1, p2,
-                                  interpret=(backend == 'pallas_interpret'))
+    if backend in ('pallas', 'pallas_interpret', 'pallas_pruned'):
+        from ..kernels.nn_distance import (nearest_idx_pallas,
+                                           nearest_idx_pruned, T1, T2)
+        interpret = backend == 'pallas_interpret'
+        # Morton-banded pruning pays once both clouds span several
+        # tiles (prepass sorts cost ~3 ms fixed each); results are
+        # bit-identical either way
+        if (backend == 'pallas_pruned'
+                or (p1.shape[1] >= 8 * T1 and p2.shape[1] >= 16 * T2)):
+            return nearest_idx_pruned(p1, p2, interpret=interpret)
+        return nearest_idx_pallas(p1, p2, interpret=interpret)
     return _nearest_idx(p1, p2)
 
 

@@ -278,3 +278,22 @@ def test_uniform_laplacian_smoothing_example():
     np.testing.assert_allclose(
         np.asarray(out),
         [[[0., 0.5, 0.5], [0.5, 0., 0.5], [0.5, 0.5, 0.]]], atol=1e-6)
+
+
+def test_nearest_idx_pruned_exact():
+    """Morton-banded pruned NN selection is bit-identical to the XLA
+    scan (same distance form, lowest-original-index ties), including
+    duplicated points and uneven tile/chunk padding."""
+    from kaolin_tpu.kernels.nn_distance import nearest_idx_pruned
+    from kaolin_tpu.metrics.pointcloud import _nearest_idx
+    rng = np.random.default_rng(7)
+    p1 = jnp.asarray(rng.random((2, 1700, 3)), jnp.float32)
+    p2 = jnp.asarray(rng.random((2, 2600, 3)), jnp.float32)
+    a = np.asarray(nearest_idx_pruned(p1, p2, interpret=True))
+    b = np.asarray(_nearest_idx(p1, p2))
+    assert np.array_equal(a, b)
+    # duplicated reference points force distance ties
+    p2d = jnp.concatenate([p2[:, :400], p2[:, :400]], axis=1)
+    a = np.asarray(nearest_idx_pruned(p1, p2d, interpret=True))
+    b = np.asarray(_nearest_idx(p1, p2d))
+    assert np.array_equal(a, b)
