@@ -28,6 +28,11 @@ def main():
     p.add_argument('--backend', choices=('xla', 'banded'), default='xla',
                    help="'banded' = the Pallas sorted-frontier traversal "
                         "kernel (kernels/spc_traverse.py)")
+    p.add_argument('--ray-mode', choices=('ray_fn', 'cols'),
+                   default='ray_fn',
+                   help="banded only: 'ray_fn' = per-level XLA ray "
+                        "recompute (bit-exact vs the XLA path); 'cols' "
+                        "= in-kernel recompute (~1 ulp ray drift)")
     args = p.parse_args()
 
     import jax
@@ -57,28 +62,47 @@ def main():
     o, d = ray_fn(jnp.arange(num_rays, dtype=jnp.int32))
 
     offs = level_offsets_from_octree(octree)
-    sched = plan_raytrace(octree, ph, exsum, o, d, args.level,
-                          cap=64 * num_rays, ray_fn=ray_fn,
-                          level_offsets=offs)
+    sched, raw_counts = plan_raytrace(octree, ph, exsum, o, d, args.level,
+                                      cap=64 * num_rays, ray_fn=ray_fn,
+                                      level_offsets=offs,
+                                      return_counts=True)
     cap = max(max(int(c) for c in sched), num_rays)
     print(f'# octree nodes={int(lengths[0])} schedule={sched} '
           f'level_offsets={offs}', flush=True)
+    ref_nuggets = int(np.asarray(unbatched_raytrace_fixed(
+        octree, ph, exsum, o, d, args.level, cap, cap_schedule=sched,
+        ray_fn=ray_fn, level_offsets=offs)[3]))
 
     if args.backend == 'banded':
         from kaolin_tpu.render.spc.raytrace import primary_rays_fn_cols
         from kaolin_tpu.kernels.spc_traverse import (
             build_node_table_t, traverse_banded, schedule_from_counts)
-        ray_cols = primary_rays_fn_cols(
-            args.res, args.res, jnp.asarray([0., 0., 2.5]), jnp.zeros(3),
-            jnp.asarray([0., 1., 0.]), jnp.pi / 3)
-        bsched = schedule_from_counts(sched)
+        # schedule from the RAW probe counts: schedule_from_counts
+        # applies its own margin, feeding it the margined plan schedule
+        # would compound to ~1.56x buffers
+        bsched = schedule_from_counts(raw_counts)
         tbl = build_node_table_t(octree, exsum)
+        if args.ray_mode == 'cols':
+            bkw = dict(ray_fn_cols=primary_rays_fn_cols(
+                args.res, args.res, jnp.asarray([0., 0., 2.5]),
+                jnp.zeros(3), jnp.asarray([0., 1., 0.]), jnp.pi / 3))
+        else:
+            bkw = dict(ray_fn=ray_fn)
+
+        # correctness gate before timing: no overflow, and the nugget
+        # count matches the XLA path (an undersized schedule would
+        # otherwise silently report timings for a truncated traversal)
+        _, _, _, bcount, boflow = (
+            np.asarray(v) for v in traverse_banded(
+                tbl, num_rays, args.level, bsched, **bkw))
+        assert int(boflow) == 0, f'banded schedule overflow: {int(boflow)}'
+        assert int(bcount) == ref_nuggets, (int(bcount), ref_nuggets)
 
         @jax.jit
         def run(o, d):
             def step(c, _):
                 r_, p_, dep, count, ov = traverse_banded(
-                    tbl + c * 0, num_rays, args.level, bsched, ray_cols)
+                    tbl + c * 0, num_rays, args.level, bsched, **bkw)
                 return c + (count & 1).astype(jnp.float32) * 1e-6, None
             c, _ = jax.lax.scan(step, jnp.float32(0), None,
                                 length=args.iters)
@@ -103,10 +127,8 @@ def main():
         np.asarray(run(o, d))
         best = min(best, (time.perf_counter() - t0) / args.iters)
 
-    nuggets = int(np.asarray(unbatched_raytrace_fixed(
-        octree, ph, exsum, o, d, args.level, cap, cap_schedule=sched,
-        ray_fn=ray_fn, level_offsets=offs)[3]))
     ms = best * 1e3
+    nuggets = ref_nuggets
     print(json.dumps({
         'metric': f'spc_raytrace_{args.res}x{args.res}_L{args.level}',
         'backend': args.backend,

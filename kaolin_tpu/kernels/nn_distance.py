@@ -21,11 +21,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ['nearest_idx_pallas']
+__all__ = ['nearest_idx_pallas', 'nearest_idx_pruned', 'MAX_REF_POINTS']
 
 T1 = 512      # query rows per grid step
 T2 = 1024     # reference columns per inner chunk
 _PAD = 1e30   # padding coordinate: distance overflows to +inf
+# Both kernels keep the entire reference cloud resident in VMEM
+# (nearest_idx_pallas: (3, N2p) f32 = 12 B/point; nearest_idx_pruned:
+# (4, N2p) = 16 B/point). 640k points ~ 10 MB leaves headroom within
+# the ~16 MB of VMEM for the query tile and output; beyond this the
+# compile fails, so callers must fall back to the XLA scan
+# (metrics.pointcloud._nearest auto-routes).
+MAX_REF_POINTS = 640 * 1024
 
 
 def _nn_kernel(p1_ref, p2_ref, idx_ref, *, n2_chunks):
@@ -173,6 +180,11 @@ def nearest_idx_pruned(p1, p2, interpret=False):
     small fraction of the reference chunks per query tile."""
     B, N1, _ = p1.shape
     N2 = p2.shape[1]
+    if N2 > MAX_REF_POINTS:
+        raise ValueError(
+            f'nearest_idx_pruned holds the reference cloud in VMEM '
+            f'(16 B/point): N2={N2} > {MAX_REF_POINTS}; use the XLA '
+            f'backend for larger clouds')
     n1p = N1 + ((-N1) % T1)
     n2p = N2 + ((-N2) % T2)
     p1s, orig1 = _msort(p1.astype(jnp.float32), n1p)

@@ -72,16 +72,19 @@ CHUNK = 512           # one-hot gather chunk (sublanes); divides W_BLK
 # (spec DMA setup etc.) measured at 8 rows/step
 RSTEP = 32
 
-# near-to-far rank of (octant ^ ray-code); self-inverse permutation
-_GRAY_RANK = (0, 1, 2, 4, 3, 5, 6, 7)
+# Near-to-far octant order for origin-octant code c: octants sorted by
+# (popcount(o ^ c), o) — generates the CUDA VOXEL_ORDER table
+# (raytrace_cuda.cu:48-57) exactly; same rule as
+# render/spc/raytrace.py VOXEL_ORDER (tie-break by ascending o, not
+# o ^ c). _VOXEL_RANK[c][o] is the inverse permutation: the rank the
+# path key accumulates for octant o under code c.
+_VOXEL_RANK = tuple(
+    tuple(sorted(range(8),
+                 key=lambda o, c=c: (bin(o ^ c).count('1'), o)).index(o)
+          for o in range(8))
+    for c in range(8))
 
 _INT_MAX = jnp.int32(0x7FFFFFFF)
-
-# Debug ablation switches (affect tracing; for perf forensics only).
-# gather: 'fori' (production) | 'unroll2' (two static chunks, wrong
-# when a row needs more — timing only) | 'const' (skip gather).
-# pack: False skips the slot-packing network (wrong results).
-_DBG = {'gather': 'fori', 'pack': True}
 
 
 def build_node_table_t(octree, exsum):
@@ -92,6 +95,17 @@ def build_node_table_t(octree, exsum):
     stay exact through the f32 one-hot matmuls (byte < 2**8, child ids
     < 2**24)."""
     n = octree.shape[0]
+    # f32 holds integers exactly only below 2**24: oversized octrees
+    # would silently corrupt child ids through the one-hot matmuls
+    try:
+        emax = int(jnp.max(exsum[:n])) if n else 0
+    except jax.errors.ConcretizationTypeError:
+        emax = 8 * n                     # loose static bound when traced
+    if emax >= (1 << 24):
+        raise ValueError(
+            f'octree too large for the banded traversal kernel: max '
+            f'child id {emax} >= 2**24 would lose precision in the f32 '
+            f'one-hot gather; use the XLA backend')
     npad = (-(-(n) // W_BLK) + 2) * W_BLK
     tbl = jnp.zeros((8, npad), jnp.float32)
     tbl = tbl.at[0, :n].set(octree.astype(jnp.float32))
@@ -167,16 +181,9 @@ def _level_kernel_body(l, last, with_exit, ray_fn_cols, ray_refs, pack,
                 vals, onehot, precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=f32)
 
-        if _DBG['gather'] == 'fori':
-            acc = jax.lax.fori_loop(0, cnum_ref[0, i * RSTEP + rr],
-                                    chunk_body,
-                                    jnp.zeros((8, LANES), f32))
-        elif _DBG['gather'] == 'unroll2':
-            acc = jnp.zeros((8, LANES), f32)
-            acc = chunk_body(0, acc)
-            acc = chunk_body(1, acc)
-        else:
-            acc = jnp.ones((8, LANES), f32) * 3.0
+        acc = jax.lax.fori_loop(0, cnum_ref[0, i * RSTEP + rr],
+                                chunk_body,
+                                jnp.zeros((8, LANES), f32))
         byte_rows.append(acc[0:1, :])
         base_rows.append(acc[1:2, :])
     node_byte = jnp.concatenate(byte_rows, axis=0).astype(jnp.int32)
@@ -251,11 +258,10 @@ def _level_kernel_body(l, last, with_exit, ray_fn_cols, ray_refs, pack,
         cnt_before = jnp.bitwise_count(
             (node_byte & ((2 << s) - 1)).astype(jnp.uint32)
         ).astype(jnp.int32)
-        # near-to-far rank of this octant for this ray: _GRAY_RANK[s^code]
-        sc = s ^ code
+        # near-to-far rank of this octant for this ray: _VOXEL_RANK[code][s]
         rank = jnp.zeros_like(code)
-        for v in range(8):
-            rank = jnp.where(sc == v, jnp.int32(_GRAY_RANK[v]), rank)
+        for c in range(8):
+            rank = jnp.where(code == c, jnp.int32(_VOXEL_RANK[c][s]), rank)
         fields = {
             'pidx': jnp.where(keep, child_base + cnt_before, -1),
             'ridx': ridx,
@@ -278,7 +284,7 @@ def _level_kernel_body(l, last, with_exit, ray_fn_cols, ray_refs, pack,
     # (smax_sort < 8): survivors must sit in the low slots. With all 8
     # planes sorted, octant-order holes are already ascending-with-holes.
     names = list(planes[0].keys())
-    for _round in range(8 if (pack and _DBG['pack']) else 0):
+    for _round in range(8 if pack else 0):
         start = _round % 2
         for a in range(start, 7, 2):
             b = a + 1

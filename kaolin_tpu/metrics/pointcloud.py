@@ -58,8 +58,14 @@ def _nearest(p1, p2, backend='auto'):
         backend = 'pallas' if jax.default_backend() == 'tpu' else 'xla'
     if backend in ('pallas', 'pallas_interpret', 'pallas_pruned'):
         from ..kernels.nn_distance import (nearest_idx_pallas,
-                                           nearest_idx_pruned, T1, T2)
+                                           nearest_idx_pruned,
+                                           T1, T2, MAX_REF_POINTS)
         interpret = backend == 'pallas_interpret'
+        # both kernels hold the whole reference cloud in VMEM
+        # (12-16 B/point); beyond that the compile fails — auto-route
+        # falls back to the any-size XLA scan
+        if backend != 'pallas_pruned' and p2.shape[1] > MAX_REF_POINTS:
+            return _nearest_idx(p1, p2)
         # Morton-banded pruning pays once both clouds span several
         # tiles (prepass sorts cost ~3 ms fixed each); results are
         # bit-identical either way

@@ -88,7 +88,7 @@ def voxelgrids_to_cubic_meshes(voxelgrids, is_trimesh=True):
         if not quads:
             out_v.append(jnp.zeros((0, 3)))
             out_f.append(jnp.zeros((0, 3 if is_trimesh else 4),
-                                   dtype=jnp.int64))
+                                   dtype=jnp.int32))
             continue
         quads = np.stack(quads)                  # (Q, 4, 3)
         flat = quads.reshape(-1, 3)

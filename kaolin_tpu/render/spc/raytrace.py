@@ -7,9 +7,9 @@ counts) becomes a statically-shaped XLA loop: a fixed-capacity nugget
 buffer with a valid prefix, per-level vectorized AABB tests, and masked
 scatter compaction (out-of-capacity scatters drop; the true count is
 returned so callers can detect overflow). Children are emitted near-to-far
-per parent via the octant traversal order table (derivable as octants
-sorted by ``(popcount(o ^ origin_octant), o ^ origin_octant)`` — matching
-``raytrace_cuda.cu:48-57 VOXEL_ORDER``).
+per parent via the octant traversal order table (octants sorted by
+``(popcount(o ^ origin_octant), o)`` — generates
+``raytrace_cuda.cu:48-57 VOXEL_ORDER`` exactly).
 
 Pack ops (segmented scans/reductions over per-ray intersection runs) map
 to ``jax.ops.segment_sum`` and ``jax.lax.associative_scan`` with a
@@ -56,10 +56,33 @@ __all__ = [
 ]
 
 
-# Near-to-far octant traversal: VOXEL_ORDER[c][i] == c ^ _GRAY_RANK[i]
-# (octants sorted by (popcount(o ^ c), o ^ c); the xor identity makes the
-# (8, 8) CUDA constant table (raytrace_cuda.cu:48-57) a broadcastable op).
-_GRAY_RANK = (0, 1, 2, 4, 3, 5, 6, 7)
+# Near-to-far octant traversal order: for a ray whose origin lies in
+# octant ``c`` of the parent cell, children are visited in order of
+# ascending ``(popcount(o ^ c), o)`` — the number of coordinate planes
+# crossed to reach octant ``o``, ties broken by ascending octant id.
+# This generates the (8, 8) CUDA constant table VOXEL_ORDER
+# (raytrace_cuda.cu:48-57) exactly (validated literally in
+# tests/test_raytrace.py). Note the tie-break is ascending ``o``, NOT
+# ascending ``o ^ c`` — the xor-rank shortcut matches only for
+# c in {0, 1}.
+VOXEL_ORDER = tuple(
+    tuple(sorted(range(8), key=lambda o, c=c: (bin(o ^ c).count('1'), o)))
+    for c in range(8))
+# inverse permutation per code: _VOXEL_RANK[c][o] = near-to-far rank of
+# octant o for origin-octant code c
+_VOXEL_RANK = tuple(
+    tuple(row.index(o) for o in range(8)) for row in VOXEL_ORDER)
+
+
+def _octant_for_rank(code, rank):
+    """Per-ray child octant at near-to-far position ``rank``:
+    ``VOXEL_ORDER[code][rank]`` as an 8-way select (code is a traced
+    array; an (8, 8)-table gather would cost ~8.6 ns/el per rank)."""
+    octant = jnp.zeros_like(code)
+    for c in range(8):
+        octant = jnp.where(code == c, jnp.int32(VOXEL_ORDER[c][rank]),
+                           octant)
+    return octant
 
 
 def _ray_aabb(o, d, inv, sgn, vc, r):
@@ -203,7 +226,18 @@ def unbatched_raytrace_fixed(octree, point_hierarchy, exsum, origin,
     INF = jnp.int32(0x7FFFFFFF)
 
     # packed per-node table: octree byte (8 bits) | exsum << 8 — one gather
-    # yields both
+    # yields both. The pack caps child ids at 2**23 (int32 sign bit);
+    # fail loudly instead of traversing corrupt ids. Concrete exsum gets
+    # an exact check; traced exsum a loose static bound (sum of
+    # popcounts of n bytes <= 8n).
+    try:
+        emax = int(jnp.max(exsum[:octree.shape[0]]))
+    except jax.errors.ConcretizationTypeError:
+        emax = 8 * octree.shape[0]
+    if emax >= (1 << 23):
+        raise ValueError(
+            f'octree too large for the packed node table: max child id '
+            f'{emax} >= 2**23 overflows the byte|exsum<<8 int32 pack')
     node_tbl = octree.astype(jnp.int32) \
         | (exsum[:octree.shape[0]].astype(jnp.int32) << 8)
 
@@ -299,7 +333,7 @@ def unbatched_raytrace_fixed(octree, point_hierarchy, exsum, origin,
         keep_cols, pidx_cols, xy_cols, z_cols = [], [], [], []
         entry_cols, exit_cols = [], []
         for rank in range(8):
-            octant = code ^ _GRAY_RANK[rank]
+            octant = _octant_for_rank(code, rank)
             exists = ((bits >> octant) & 1) > 0
             ox, oy, oz = (octant >> 2) & 1, (octant >> 1) & 1, octant & 1
             off = jnp.stack([ox, oy, oz], axis=-1).astype(dtype)
@@ -386,13 +420,16 @@ def unbatched_raytrace_fixed(octree, point_hierarchy, exsum, origin,
 
 def plan_raytrace(octree, point_hierarchy, exsum, origin, direction,
                   level, cap=None, margin=1.25, ray_fn=None,
-                  level_offsets=None):
+                  level_offsets=None, return_counts=False):
     """Probes a trace and returns a tight per-level ``cap_schedule``
     (tuple, static) for :func:`unbatched_raytrace_fixed` — per-level
     buffers sized to the actual nugget counts (x ``margin``, rounded up
     to 1024). Use for repeated tracing of the same scene (training
     loops): buffers shrink from the worst-case bound to the observed
-    occupancy."""
+    occupancy. With ``return_counts`` also returns the RAW probe counts
+    (tuple of ints, un-margined) — feed those, not the schedule, to
+    :func:`kernels.spc_traverse.schedule_from_counts` so margins don't
+    compound."""
     num_rays = origin.shape[0]
     if cap is None:
         cap = 64 * num_rays
@@ -402,6 +439,8 @@ def plan_raytrace(octree, point_hierarchy, exsum, origin, direction,
         level_offsets=level_offsets)
     counts = np.asarray(counts)
     sched = tuple(int(-(-int(c * margin) // 1024) * 1024) for c in counts)
+    if return_counts:
+        return sched, tuple(int(c) for c in counts)
     return sched
 
 

@@ -312,3 +312,181 @@ def test_traverse_banded_exact():
         assert ov == 0 and n == rn3 and n > 0
         assert np.array_equal(np.asarray(out[0][:n]), np.asarray(ref3[0][:n]))
         assert np.array_equal(np.asarray(out[1][:n]), np.asarray(ref3[1][:n]))
+
+
+def test_voxel_order_matches_cuda_table():
+    """The generated near-to-far octant order table equals the CUDA
+    constant VOXEL_ORDER (raytrace_cuda.cu:48-57) literally. The rule is
+    ascending (popcount(o ^ code), o) — tie-break by ascending octant
+    id, NOT by o ^ code (the xor shortcut matches only codes 0-1)."""
+    from kaolin_tpu.render.spc.raytrace import VOXEL_ORDER, _VOXEL_RANK
+    cuda_table = (
+        (0, 1, 2, 4, 3, 5, 6, 7),
+        (1, 0, 3, 5, 2, 4, 7, 6),
+        (2, 0, 3, 6, 1, 4, 7, 5),
+        (3, 1, 2, 7, 0, 5, 6, 4),
+        (4, 0, 5, 6, 1, 2, 7, 3),
+        (5, 1, 4, 7, 0, 3, 6, 2),
+        (6, 2, 4, 7, 0, 3, 5, 1),
+        (7, 3, 5, 6, 1, 2, 4, 0),
+    )
+    assert VOXEL_ORDER == cuda_table
+    for c in range(8):
+        for o in range(8):
+            assert VOXEL_ORDER[c][_VOXEL_RANK[c][o]] == o
+    # the kernel's rank table is generated by the same rule
+    from kaolin_tpu.kernels.spc_traverse import _VOXEL_RANK as k_rank
+    assert k_rank == _VOXEL_RANK
+
+
+def _dfs_reference_order(octree_np, exsum_np, level, o, d, order_table,
+                         with_exit=False):
+    """Per-ray reference traversal in the CUDA's exact emission order:
+    depth-first, children visited in ``order_table[code]`` order (the
+    level-synchronous BFS emits the same final sequence). Float64 slab
+    math — generic scenes keep decisions far from the ulp edge."""
+    o = np.asarray(o, np.float64)
+    d = np.asarray(d, np.float64)
+    with np.errstate(divide='ignore'):
+        inv = 1.0 / d
+    sgn = np.where(np.signbit(d), 1.0, -1.0)
+    sgn_exit = np.where(np.signbit(-d), 1.0, -1.0)
+
+    def ray_aabb(vc, r, s):
+        oc = o - vc
+        if np.max(np.abs(oc)) < r:
+            return -r
+        with np.errstate(invalid='ignore'):
+            dd = (r * s - oc) * inv
+        with np.errstate(invalid='ignore'):
+            for a, (b1, b2) in ((0, (1, 2)), (1, (0, 2)), (2, (0, 1))):
+                if dd[a] >= 0 and abs(d[b1] * dd[a] + oc[b1]) <= r \
+                        and abs(d[b2] * dd[a] + oc[b2]) <= r:
+                    return dd[a]
+        return 0.0
+
+    out = []
+
+    def rec(idx, lvl, p):
+        r = 1.0 / (1 << lvl)
+        rc = r * 0.5
+        vc = r * (2. * p + 1.) - 1.
+        byte = int(octree_np[idx])
+        frac = (0.5 * o + 0.5) - r * (p + 0.5)
+        code = (frac[0] > 0) * 4 + (frac[1] > 0) * 2 + (frac[2] > 0)
+        last = lvl + 1 == level
+        for oct_ in order_table[code]:
+            if not (byte >> oct_) & 1:
+                continue
+            off = np.array([(oct_ >> 2) & 1, (oct_ >> 1) & 1, oct_ & 1],
+                           np.float64)
+            vcc = vc - rc + r * off
+            entry = ray_aabb(vcc, rc, sgn)
+            child = int(exsum_np[idx]) + bin(byte & ((2 << oct_) - 1)
+                                            ).count('1')
+            if last:
+                if entry <= 0:
+                    continue
+                if with_exit:
+                    exit_ = ray_aabb(vcc, rc, sgn_exit)
+                    if exit_ <= 0:
+                        continue
+                    out.append((child, entry, exit_))
+                else:
+                    out.append((child, entry))
+            elif entry != 0.0:
+                rec(child, lvl + 1, p * 2. + off)
+
+    rec(0, 0, np.zeros(3))
+    return out
+
+
+def test_raytrace_emission_order_vs_dfs_oracle(sphere_spc):
+    """Full nugget STREAM (not depth-sorted) equality against a numpy
+    DFS oracle implementing the reference's VOXEL_ORDER emission, from
+    camera positions whose per-parent origin-octant codes span 2-7."""
+    from kaolin_tpu.render.spc.raytrace import (VOXEL_ORDER,
+                                                unbatched_raytrace_fixed)
+    octree, ph, pyramid, exsum, level = sphere_spc
+    octree_np = np.asarray(octree)
+    exsum_np = np.asarray(exsum)
+    rng = np.random.default_rng(7)
+    eyes = np.array([[1.9, 1.3, -1.7], [-2.1, 0.8, 1.2],
+                     [0.9, -2.2, 0.7], [-1.3, -1.1, -1.6]])
+    for eye in eyes:
+        targets = rng.uniform(-0.6, 0.6, (25, 3))
+        dirs = targets - eye
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        origins = np.tile(eye, (25, 1)).astype(np.float32)
+        dirs = dirs.astype(np.float32)
+        ridx, pidx, depth, count = unbatched_raytrace_fixed(
+            octree, ph, exsum, jnp.asarray(origins), jnp.asarray(dirs),
+            level, 25 * 128)
+        n = int(count)
+        ridx = np.asarray(ridx)[:n]
+        pidx = np.asarray(pidx)[:n]
+        depth = np.asarray(depth)[:n, 0]
+        for rid in range(25):
+            gt = _dfs_reference_order(octree_np, exsum_np, level,
+                                      origins[rid], dirs[rid], VOXEL_ORDER)
+            mine = pidx[ridx == rid].tolist()
+            assert mine == [g[0] for g in gt], f"eye {eye} ray {rid}"
+            np.testing.assert_allclose(
+                depth[ridx == rid], [g[1] for g in gt], rtol=1e-5,
+                atol=1e-6)
+
+
+def test_raytrace_voxel_order_tie_break(sphere_spc):
+    """Boundary-degenerate rays are where the VOXEL_ORDER tie-break is
+    observable: along a straight ray each axis crosses a cell mid-plane
+    at most once, always moving AWAY from the ray origin's side, so the
+    popcount class of visited children strictly increases — generic rays
+    can never hit two same-class children of one parent. Axis-aligned
+    rays on exact lattice planes hit cells on BOTH sides via the
+    boundary-inclusive slab test (|lt| <= r), producing same-class
+    multi-hits whose order the table dictates. This test (a) asserts the
+    implementation matches the true-table DFS oracle on a lattice-ray
+    family, and (b) asserts that family discriminates the true table
+    from the old xor-rank rule (so a regression cannot pass silently)."""
+    from kaolin_tpu.render.spc.raytrace import (VOXEL_ORDER,
+                                                unbatched_raytrace_fixed)
+    octree, ph, pyramid, exsum, level = sphere_spc
+    octree_np = np.asarray(octree)
+    exsum_np = np.asarray(exsum)
+    xor_table = tuple(
+        tuple(sorted(range(8), key=lambda o, c=c: (bin(o ^ c).count('1'),
+                                                   o ^ c)))
+        for c in range(8))
+    # axis-aligned rays on exact level-3 lattice planes, all 3 axes
+    lat = [k / 8. * 2. - 1. for k in range(9)]
+    origins, dirs = [], []
+    for axis in range(3):
+        oa = [a for a in range(3) if a != axis]
+        for u in lat:
+            for v in lat:
+                e = [0., 0., 0.]
+                d = [0., 0., 0.]
+                e[axis], d[axis] = 2.5, -1.0
+                e[oa[0]], e[oa[1]] = u, v
+                origins.append(e)
+                dirs.append(d)
+    origins = np.asarray(origins, np.float32)
+    dirs = np.asarray(dirs, np.float32)
+    ridx, pidx, depth, count = unbatched_raytrace_fixed(
+        octree, ph, exsum, jnp.asarray(origins), jnp.asarray(dirs), level,
+        len(origins) * 256)
+    n = int(count)
+    ridx = np.asarray(ridx)[:n]
+    pidx = np.asarray(pidx)[:n]
+    discriminated = 0
+    for rid in range(len(origins)):
+        gt = _dfs_reference_order(octree_np, exsum_np, level,
+                                  origins[rid], dirs[rid], VOXEL_ORDER)
+        mine = pidx[ridx == rid].tolist()
+        assert mine == [g[0] for g in gt], f"lattice ray {rid}"
+        gx = _dfs_reference_order(octree_np, exsum_np, level,
+                                  origins[rid], dirs[rid], xor_table)
+        if [g[0] for g in gx] != [g[0] for g in gt]:
+            discriminated += 1
+    assert discriminated >= 10, (
+        f"only {discriminated} rays exercised the tie-break difference")
