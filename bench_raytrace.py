@@ -25,12 +25,15 @@ def main():
     p.add_argument('--iters', type=int, default=8)
     p.add_argument('--reps', type=int, default=4)
     p.add_argument('--points', type=int, default=200000)
-    p.add_argument('--backend', choices=('xla', 'banded'), default='xla',
-                   help="'banded' = the Pallas sorted-frontier traversal "
-                        "kernel (kernels/spc_traverse.py)")
+    p.add_argument('--backend', choices=('xla', 'banded', 'banded_sort'),
+                   default='xla',
+                   help="'banded' = the cursor-compaction Pallas kernel "
+                        "through the PUBLIC API (unbatched_raytrace_fixed"
+                        "(backend='banded')); 'banded_sort' = the older "
+                        "sort-per-level kernel, called directly")
     p.add_argument('--ray-mode', choices=('ray_fn', 'cols'),
                    default='ray_fn',
-                   help="banded only: 'ray_fn' = per-level XLA ray "
+                   help="banded kernels: 'ray_fn' = per-level XLA ray "
                         "recompute (bit-exact vs the XLA path); 'cols' "
                         "= in-kernel recompute (~1 ulp ray drift)")
     args = p.parse_args()
@@ -71,15 +74,37 @@ def main():
           f'level_offsets={offs}', flush=True)
     ref_nuggets = int(np.asarray(unbatched_raytrace_fixed(
         octree, ph, exsum, o, d, args.level, cap, cap_schedule=sched,
-        ray_fn=ray_fn, level_offsets=offs)[3]))
+        ray_fn=ray_fn, level_offsets=offs, backend='xla')[3]))
 
     if args.backend == 'banded':
+        # the PUBLIC API path: banded backend takes the RAW probe counts
+        # as its cap_schedule (it applies margin_dense internally)
+        bkw = {} if args.ray_mode == 'cols' else dict(ray_fn=ray_fn)
+
+        # correctness gate before timing: no overflow (count <= cap)
+        # and nugget-count parity with the XLA path — an undersized
+        # schedule would otherwise silently time a truncated traversal
+        _, _, _, bcount = (np.asarray(v) for v in unbatched_raytrace_fixed(
+            octree, ph, exsum, o, d, args.level, cap,
+            cap_schedule=raw_counts, level_offsets=offs,
+            backend='banded', **bkw))
+        assert int(bcount) == ref_nuggets, (int(bcount), ref_nuggets)
+
+        @jax.jit
+        def run(o, d):
+            def step(c, _):
+                ridx, pidx, depth, count = unbatched_raytrace_fixed(
+                    octree, ph, exsum, o + c * 1e-12, d, args.level, cap,
+                    cap_schedule=raw_counts, level_offsets=offs,
+                    backend='banded', **bkw)
+                return c + (count & 1).astype(jnp.float32) * 1e-6, None
+            c, _ = jax.lax.scan(step, jnp.float32(0), None,
+                                length=args.iters)
+            return c
+    elif args.backend == 'banded_sort':
         from kaolin_tpu.render.spc.raytrace import primary_rays_fn_cols
         from kaolin_tpu.kernels.spc_traverse import (
             build_node_table_t, traverse_banded, schedule_from_counts)
-        # schedule from the RAW probe counts: schedule_from_counts
-        # applies its own margin, feeding it the margined plan schedule
-        # would compound to ~1.56x buffers
         bsched = schedule_from_counts(raw_counts)
         tbl = build_node_table_t(octree, exsum)
         if args.ray_mode == 'cols':
@@ -88,10 +113,6 @@ def main():
                 jnp.zeros(3), jnp.asarray([0., 1., 0.]), jnp.pi / 3))
         else:
             bkw = dict(ray_fn=ray_fn)
-
-        # correctness gate before timing: no overflow, and the nugget
-        # count matches the XLA path (an undersized schedule would
-        # otherwise silently report timings for a truncated traversal)
         _, _, _, bcount, boflow = (
             np.asarray(v) for v in traverse_banded(
                 tbl, num_rays, args.level, bsched, **bkw))
@@ -114,7 +135,8 @@ def main():
                 # level-0 origin nudge keeps the scan chain data-dependent
                 ridx, pidx, depth, count = unbatched_raytrace_fixed(
                     octree, ph, exsum, o + c * 1e-12, d, args.level, cap,
-                    cap_schedule=sched, ray_fn=ray_fn, level_offsets=offs)
+                    cap_schedule=sched, ray_fn=ray_fn, level_offsets=offs,
+                    backend='xla')
                 return c + (count & 1).astype(jnp.float32) * 1e-6, None
             c, _ = jax.lax.scan(step, jnp.float32(0), None,
                                 length=args.iters)

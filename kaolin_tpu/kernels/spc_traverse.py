@@ -66,7 +66,11 @@ LANES = 128
 # range (~a few hundred to ~3k ids); 4097 guaranteed coverage leaves
 # headroom, and wider spans (frontiers far sparser than the level's
 # node table) raise the overflow flag (caller falls back to XLA).
-W_BLK = 4096
+# 8192: a sorted deep-level step holds 4096 ids whose span is inflated
+# by the unvisited-node gap factor (measured ~2.8x at 512^2/L10, spans
+# to ~11.7k) — 2*W_BLK+1 = 16385 guaranteed coverage absorbs gap
+# factors to 4x; beyond that the overflow flag falls back to XLA.
+W_BLK = 8192
 CHUNK = 512           # one-hot gather chunk (sublanes); divides W_BLK
 # frontier rows per grid step: amortizes the ~10 us per-step machinery
 # (spec DMA setup etc.) measured at 8 rows/step
@@ -87,13 +91,16 @@ _VOXEL_RANK = tuple(
 _INT_MAX = jnp.int32(0x7FFFFFFF)
 
 
-def build_node_table_t(octree, exsum):
+def build_node_table_t(octree, exsum, point_hierarchy=None):
     """Transposed node table for the traversal kernel: (8, Npad) f32,
-    row 0 = octree byte, row 1 = first-child id (``exsum``), rows 2-7
-    zero. Npad rounds up to a W_BLK multiple plus one spare block so the
+    row 0 = octree byte, row 1 = first-child id (``exsum``), rows 2-4 =
+    node (x, y, z) coords when ``point_hierarchy`` is given (required by
+    the cursor-compaction kernel, which re-reads parent coords through
+    the same windowed gather instead of carrying them), rows 5-7 zero.
+    Npad rounds up to a W_BLK multiple plus one spare block so the
     kernel's two adjacent block fetches never run off the end. Values
     stay exact through the f32 one-hot matmuls (byte < 2**8, child ids
-    < 2**24)."""
+    < 2**24, coords < 2**15)."""
     n = octree.shape[0]
     # f32 holds integers exactly only below 2**24: oversized octrees
     # would silently corrupt child ids through the one-hot matmuls
@@ -110,6 +117,10 @@ def build_node_table_t(octree, exsum):
     tbl = jnp.zeros((8, npad), jnp.float32)
     tbl = tbl.at[0, :n].set(octree.astype(jnp.float32))
     tbl = tbl.at[1, :n].set(exsum[:n].astype(jnp.float32))
+    if point_hierarchy is not None:
+        for a in range(3):
+            tbl = tbl.at[2 + a, :n].set(
+                point_hierarchy[:n, a].astype(jnp.float32))
     return tbl
 
 
@@ -409,10 +420,12 @@ def _prepass(pidx_rows, nblk):
     cbase = jnp.clip(jnp.where(empty, 0, rmin // CHUNK), 0,
                      nblk * (W_BLK // CHUNK) - 1)
     cnum = jnp.where(empty, 0, rmax // CHUNK - cbase + 1)
+    active = smax >= 0                 # any live parent in the step
     return (wblk.reshape(1, -1).astype(jnp.int32),
             cbase.reshape(1, -1).astype(jnp.int32),
             cnum.reshape(1, -1).astype(jnp.int32),
-            overflow)
+            overflow,
+            active.reshape(1, -1).astype(jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -487,7 +500,7 @@ def traverse_banded(tbl_t, num_rays, level, schedule, ray_fn_cols=None,
         last = l == level - 1
         rows = pidx.shape[0]
         steps = rows // RSTEP
-        wblk, cbase, cnum, oflow = _prepass(pidx, nblk)
+        wblk, cbase, cnum, oflow, _active = _prepass(pidx, nblk)
         overflow += oflow
         call = make_level_call(l, steps, last, with_exit, ray_fn_cols,
                                npad, interpret, pack=smax_sort < 8)
@@ -601,3 +614,522 @@ def schedule_from_counts(counts, margin=1.25):
     (slot-0 keeps the rest in place), so ``ceil(count * margin / 128)``
     rows bound the append with headroom."""
     return tuple(int(-(-int(c * margin) // LANES)) for c in counts)
+
+
+# ---------------------------------------------------------------------------
+# Cursor-compaction traversal: the per-level re-densify sorts (measured
+# ~90% of the banded path's runtime at 512^2/L10 — ~134 of 146 ms,
+# 2026-08-21 ablation) are replaced by in-kernel compaction. Each
+# sequential grid step compacts its survivors to row granularity with
+# one-hot MXU matmuls (positions from triangular-matmul prefix sums)
+# and DMAs a static 256-row block to the HBM output at a dynamic row
+# cursor held in SMEM; successive steps overlap-overwrite the previous
+# step's padding tail, so the frontier emerges dense without any sort.
+#
+# Why no sort is needed: candidates are emitted in (row, lane, octant)
+# order and children of ascending parent ids occupy ascending id ranges
+# (exsum is monotone), so cursor order IS id order up to per-parent
+# ties — and ties never widen a step's table window. Parent coords are
+# NOT carried: they ride rows 2-4 of the node table and come back
+# through the same windowed one-hot gather as the byte/child-base
+# words, shrinking the carried state to (pidx, ridx, key_hi, key_lo).
+# The path key is split hi/lo (levels 0-4 / 5-9) so every carried value
+# stays < 2**24 and exact through the f32 compaction matmuls.
+
+_KEY_SPLIT = 5          # key_hi takes levels < split, key_lo the rest
+
+
+def _cc_gather(i, rr, pidx_row, cbase_ref, cnum_ref, wblk,
+               tbl_a, tbl_b, tbl_c):
+    """Windowed one-hot gather of one frontier row's node words:
+    returns (8, LANES) f32 [byte, child_base, px, py, pz, 0, 0, 0]."""
+    f32 = jnp.float32
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, LANES), 0)
+    pidx_r = pidx_row.reshape(1, LANES)
+
+    def chunk_body(k, acc):
+        cb = cbase_ref[0, i * RSTEP + rr] + k
+        off_a = cb * CHUNK - wblk * W_BLK
+        in_a = off_a < W_BLK
+        in_b = off_a < 2 * W_BLK
+        ds_a = pl.multiple_of(jnp.clip(off_a, 0, W_BLK - CHUNK), CHUNK)
+        ds_b = pl.multiple_of(jnp.clip(off_a - W_BLK, 0,
+                                       W_BLK - CHUNK), CHUNK)
+        ds_c = pl.multiple_of(jnp.clip(off_a - 2 * W_BLK, 0,
+                                       W_BLK - CHUNK), CHUNK)
+        sl_a = tbl_a[:, pl.ds(ds_a, CHUNK)]
+        sl_b = tbl_b[:, pl.ds(ds_b, CHUNK)]
+        sl_c = tbl_c[:, pl.ds(ds_c, CHUNK)]
+        vals = jnp.where(in_a, sl_a, jnp.where(in_b, sl_b, sl_c))
+        ids = sub_iota + cb * CHUNK
+        onehot = (ids == pidx_r).astype(f32)
+        return acc + jax.lax.dot(
+            vals, onehot, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=f32)
+
+    return jax.lax.fori_loop(0, cnum_ref[0, i * RSTEP + rr], chunk_body,
+                             jnp.zeros((8, LANES), f32))
+
+
+def _cc_kernel_body(l, last, with_exit, ray_fn_cols, ray_refs, cap_rows,
+                    active_ref, wblk_ref, cbase_ref, cnum_ref,
+                    pidx_ref, ridx_ref, khi_ref, klo_ref,
+                    tbl_a, tbl_b, tbl_c,
+                    out_refs, meta_ref, stage_refs, cursor_ref, sems):
+    i = pl.program_id(0)
+    f32 = jnp.float32
+    dt = f32
+
+    @pl.when(i == 0)
+    def _():
+        cursor_ref[0, 0] = 0
+        meta_ref[0, 0] = 0
+
+    @pl.when(active_ref[0, i] > 0)
+    def _body():
+        wblk = wblk_ref[0, i]
+        byte_rows, base_rows = [], []
+        pxr, pyr, pzr = [], [], []
+        for rr in range(RSTEP):
+            acc = _cc_gather(i, rr, pidx_ref[rr, :], cbase_ref, cnum_ref,
+                             wblk, tbl_a, tbl_b, tbl_c)
+            byte_rows.append(acc[0:1, :])
+            base_rows.append(acc[1:2, :])
+            pxr.append(acc[2:3, :])
+            pyr.append(acc[3:4, :])
+            pzr.append(acc[4:5, :])
+        node_byte = jnp.concatenate(byte_rows, axis=0).astype(jnp.int32)
+        child_base = jnp.concatenate(base_rows, axis=0).astype(jnp.int32)
+        px = jnp.concatenate(pxr, axis=0)
+        py = jnp.concatenate(pyr, axis=0)
+        pz = jnp.concatenate(pzr, axis=0)
+
+        pidx = pidx_ref[:, :]
+        ridx = ridx_ref[:, :]
+        khi = khi_ref[:, :]
+        klo = klo_ref[:, :]
+        valid = pidx >= 0
+
+        r = dt(1.0 / (1 << l))
+        rc = dt(r * 0.5)
+        vcx = r * (2. * px + 1.) - 1.
+        vcy = r * (2. * py + 1.) - 1.
+        vcz = r * (2. * pz + 1.) - 1.
+
+        if ray_fn_cols is not None:
+            ox, oy, oz, dx, dy, dz = ray_fn_cols(ridx)
+            ivx, ivy, ivz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+        else:
+            ox, oy, oz = (ray_refs[a][:, :] for a in range(3))
+            dx, dy, dz = (ray_refs[a][:, :] for a in range(3, 6))
+            ivx, ivy, ivz = (ray_refs[a][:, :] for a in range(6, 9))
+        sx = jnp.where(jnp.signbit(dx), dt(1.), dt(-1.))
+        sy = jnp.where(jnp.signbit(dy), dt(1.), dt(-1.))
+        sz = jnp.where(jnp.signbit(dz), dt(1.), dt(-1.))
+        if with_exit and last:
+            ex_ = jnp.where(jnp.signbit(-dx), dt(1.), dt(-1.))
+            ey_ = jnp.where(jnp.signbit(-dy), dt(1.), dt(-1.))
+            ez_ = jnp.where(jnp.signbit(-dz), dt(1.), dt(-1.))
+
+        fx = (0.5 * ox + 0.5) - r * (px + 0.5)
+        fy = (0.5 * oy + 0.5) - r * (py + 0.5)
+        fz = (0.5 * oz + 0.5) - r * (pz + 0.5)
+        code = ((fx > 0).astype(jnp.int32) * 4
+                + (fy > 0).astype(jnp.int32) * 2
+                + (fz > 0).astype(jnp.int32))
+
+        planes = []
+        for s in range(8):
+            exists = ((node_byte >> s) & 1) > 0
+            sxo, syo, szo = (s >> 2) & 1, (s >> 1) & 1, s & 1
+            ccx = vcx - rc + r * dt(sxo)
+            ccy = vcy - rc + r * dt(syo)
+            ccz = vcz - rc + r * dt(szo)
+            entry = _ray_cols_aabb(ox, oy, oz, dx, dy, dz, ivx, ivy, ivz,
+                                   sx, sy, sz, ccx, ccy, ccz, rc)
+            if last:
+                hit = entry > 0.
+                if with_exit:
+                    exit_ = _ray_cols_aabb(ox, oy, oz, dx, dy, dz,
+                                           ivx, ivy, ivz, ex_, ey_, ez_,
+                                           ccx, ccy, ccz, rc)
+                    hit &= exit_ > 0.
+            else:
+                hit = entry != 0.
+            keep = exists & hit & valid
+            cnt_before = jnp.bitwise_count(
+                (node_byte & ((2 << s) - 1)).astype(jnp.uint32)
+            ).astype(jnp.int32)
+            rank = jnp.zeros_like(code)
+            for c in range(8):
+                rank = jnp.where(code == c, jnp.int32(_VOXEL_RANK[c][s]),
+                                 rank)
+            fields = {'pidx': jnp.where(keep, child_base + cnt_before, -1),
+                      'ridx': ridx}
+            if l < _KEY_SPLIT:
+                fields['khi'] = khi * 8 + rank
+                fields['klo'] = klo
+            else:
+                fields['khi'] = khi
+                fields['klo'] = klo * 8 + rank
+            if last:
+                fields['ent'] = entry
+                if with_exit:
+                    fields['ext'] = exit_
+            planes.append(fields)
+
+        # stable slot-packing: survivors to low slots per parent column
+        # (odd-even transposition over the 8 octant planes; a swap only
+        # fires when low is dead and high alive, preserving id order)
+        names = list(planes[0].keys())
+        for _round in range(8):
+            start = _round % 2
+            for a in range(start, 7, 2):
+                b = a + 1
+                w = (planes[a]['pidx'] < 0) & (planes[b]['pidx'] >= 0)
+                for nm in names:
+                    va, vb = planes[a][nm], planes[b][nm]
+                    planes[a][nm] = jnp.where(w, vb, va)
+                    planes[b][nm] = jnp.where(w, va, vb)
+
+        # lane-rotation merges: without these, dead lanes compound level
+        # over level (kept rows inherit their holes, measured density
+        # decays 0.87 -> 0.47 -> ~0.22 by level 3 at 256^2/L8) and the
+        # frontier blows up ~4x. Moving survivors from high slot planes
+        # into dead lanes of LOW planes at rotated offsets re-densifies:
+        # output order is free (final (ray, key) sort) and the move
+        # stays within its parent row, so window spans are unchanged.
+        def merge(hi, lo, rot):
+            rolled = {nm: pltpu.roll(planes[hi][nm], rot, 1)
+                      for nm in names}
+            w = (planes[lo]['pidx'] < 0) & (rolled['pidx'] >= 0)
+            for nm in names:
+                planes[lo][nm] = jnp.where(w, rolled[nm], planes[lo][nm])
+            # roll in i32: Mosaic's rotate has no i1 lowering
+            back = pltpu.roll(w.astype(jnp.int32), LANES - rot, 1) > 0
+            planes[hi]['pidx'] = jnp.where(back, -1, planes[hi]['pidx'])
+
+        for rot in (1, 37, 77):
+            for hi in range(7, 0, -1):
+                for lo in range(min(hi, 2)):
+                    merge(hi, lo, rot + hi + lo)
+
+        # ---- row-granular compaction positions --------------------------
+        # output order is (parent-row, slot): an output step's rows then
+        # hold children of only ~4 parent rows, keeping window spans
+        # tight. All prefix math is exact f32 matmuls (values < 2**24).
+        tri_ex = (jax.lax.broadcasted_iota(jnp.int32, (RSTEP, RSTEP), 1) <
+                  jax.lax.broadcasted_iota(jnp.int32, (RSTEP, RSTEP), 0)
+                  ).astype(f32)
+        eye = (jax.lax.broadcasted_iota(jnp.int32, (RSTEP, RSTEP), 0) ==
+               jax.lax.broadcasted_iota(jnp.int32, (RSTEP, RSTEP), 1)
+               ).astype(f32)
+        valid_cols = []
+        for s in range(8):
+            alive = (planes[s]['pidx'] >= 0).astype(f32)
+            rowcnt = jnp.sum(alive, axis=1, keepdims=True)   # (RSTEP, 1)
+            valid_cols.append((rowcnt > 0.).astype(f32))
+        cnt8 = valid_cols[0]
+        for s in range(1, 8):
+            cnt8 = cnt8 + valid_cols[s]
+        rowpre = jax.lax.dot(tri_ex, cnt8,
+                             precision=jax.lax.Precision.HIGHEST)
+        pos_cols = []
+        run = rowpre
+        for s in range(8):
+            pos_cols.append(run)
+            run = run + valid_cols[s]
+        posmat = jnp.concatenate(pos_cols, axis=1)           # (RSTEP, 8)
+        vmat = jnp.concatenate(valid_cols, axis=1)
+        posr = jax.lax.dot_general(posmat, eye, (((0,), (0,)), ((), ())),
+                                   precision=jax.lax.Precision.HIGHEST)
+        vr = jax.lax.dot_general(vmat, eye, (((0,), (0,)), ((), ())),
+                                 precision=jax.lax.Precision.HIGHEST)
+        # posr/vr: (8, RSTEP)
+
+        used_f = jnp.sum(cnt8)
+        io0 = jax.lax.broadcasted_iota(jnp.int32, (RSTEP * 8, RSTEP), 0)
+        f32_fields = {}
+        for nm in names:
+            f32_fields[nm] = [planes[s][nm].astype(f32) for s in range(8)]
+        outs = {nm: jnp.zeros((RSTEP * 8, LANES), f32) for nm in names}
+        for s in range(8):
+            st = ((io0 == posr[s:s + 1].astype(jnp.int32))
+                  & (vr[s:s + 1] > 0.5)).astype(f32)         # (256, RSTEP)
+            for nm in names:
+                outs[nm] = outs[nm] + jax.lax.dot(
+                    st, f32_fields[nm][s],
+                    precision=jax.lax.Precision.HIGHEST)
+
+        for nm, stage in zip(names, stage_refs):
+            if nm in ('ent', 'ext'):
+                stage[:, :] = outs[nm]
+            else:
+                stage[:, :] = outs[nm].astype(jnp.int32)
+
+        # ---- cursor + overlapping DMA -----------------------------------
+        cur = cursor_ref[0, 0]
+        cur_c = jnp.minimum(cur, cap_rows)     # clamp: no OOB on overflow
+        copies = []
+        for f, (stage, outr) in enumerate(zip(stage_refs, out_refs)):
+            cp = pltpu.make_async_copy(
+                stage, outr.at[pl.ds(cur_c, RSTEP * 8), :], sems[f])
+            cp.start()
+            copies.append(cp)
+        for cp in copies:
+            cp.wait()
+        new_cur = cur + used_f.astype(jnp.int32)
+        cursor_ref[0, 0] = new_cur
+        meta_ref[0, 0] = new_cur
+
+
+def _cc_level_call(l, steps, last, with_exit, ray_fn_cols, npad, cap_rows,
+                   interpret=False):
+    """pallas_call for one cursor-compaction traversal level."""
+    xla_rays = ray_fn_cols is None
+    i32 = jnp.int32
+    f32 = jnp.float32
+    nfields = 4 + (1 + int(with_exit) if last else 0)
+    buf_rows = cap_rows + RSTEP * 8
+    out_shapes = [jax.ShapeDtypeStruct((buf_rows, LANES), i32)] * 4
+    if last:
+        out_shapes.append(jax.ShapeDtypeStruct((buf_rows, LANES), f32))
+        if with_exit:
+            out_shapes.append(jax.ShapeDtypeStruct((buf_rows, LANES), f32))
+    out_shapes.append(jax.ShapeDtypeStruct((1, 1), i32))     # meta: total
+
+    def kernel(active_ref, wblk_ref, cbase_ref, cnum_ref,
+               pidx_ref, ridx_ref, khi_ref, klo_ref, *rest):
+        if xla_rays:
+            ray_refs = rest[:9]
+            tbl_a, tbl_b, tbl_c = rest[9:12]
+            rest = rest[12:]
+        else:
+            ray_refs = None
+            tbl_a, tbl_b, tbl_c = rest[0:3]
+            rest = rest[3:]
+        out_refs = rest[:nfields]
+        meta_ref = rest[nfields]
+        stage_refs = rest[nfields + 1:nfields + 1 + nfields]
+        cursor_ref = rest[nfields + 1 + nfields]
+        sems = rest[nfields + 2 + nfields:]
+        _cc_kernel_body(l, last, with_exit, ray_fn_cols, ray_refs,
+                        cap_rows,
+                        active_ref, wblk_ref, cbase_ref, cnum_ref,
+                        pidx_ref, ridx_ref, khi_ref, klo_ref,
+                        tbl_a, tbl_b, tbl_c,
+                        out_refs, meta_ref, stage_refs, cursor_ref, sems)
+
+    frontier_spec = pl.BlockSpec((RSTEP, LANES), lambda i, *_: (i, 0),
+                                 memory_space=pltpu.VMEM)
+    nblk = npad // W_BLK
+
+    def tbl_map_a(i, active_ref, wblk_ref, cbase_ref, cnum_ref):
+        return (0, wblk_ref[0, i])
+
+    def tbl_map_b(i, active_ref, wblk_ref, cbase_ref, cnum_ref):
+        return (0, jnp.minimum(wblk_ref[0, i] + 1, nblk - 1))
+
+    def tbl_map_c(i, active_ref, wblk_ref, cbase_ref, cnum_ref):
+        return (0, jnp.minimum(wblk_ref[0, i] + 2, nblk - 1))
+
+    stage_types = ([pltpu.VMEM((RSTEP * 8, LANES), i32)] * 4
+                   + ([pltpu.VMEM((RSTEP * 8, LANES), f32)]
+                      * (nfields - 4)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(steps,),
+        in_specs=[frontier_spec] * (13 if xla_rays else 4) + [
+            pl.BlockSpec((8, W_BLK), tbl_map_a, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, W_BLK), tbl_map_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, W_BLK), tbl_map_c, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * nfields + [
+            pl.BlockSpec(memory_space=pltpu.SMEM)],
+        scratch_shapes=stage_types + [pltpu.SMEM((1, 1), i32)] + [
+            pltpu.SemaphoreType.DMA] * nfields,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )
+
+
+def rows_schedule_from_counts(counts, margin=2.0):
+    """Static per-level output ROW capacities for
+    :func:`traverse_banded_cc` from probed per-level nugget counts.
+    Row-granular compaction keeps whole 128-lane rows whose octant slot
+    has any survivor, so rows exceed ``count/128`` by the lane-sparsity
+    factor — default margin 2.0 covers the measured ~50-75% density;
+    re-probe with the kernel's own row totals to tighten."""
+    return tuple(
+        max(RSTEP, -(-(-(-int(c) // LANES) * margin) // RSTEP) * RSTEP)
+        for c in counts)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'num_rays', 'level', 'schedule', 'with_exit', 'ray_fn_cols',
+    'ray_fn', 'interpret', 'return_rows', 'level_offsets',
+    'margin_dense', 'raw_factor'))
+def traverse_banded_cc(tbl_t, num_rays, level, schedule, ray_fn_cols=None,
+                       ray_fn=None, origin=None, direction=None,
+                       with_exit=False, interpret=False,
+                       return_rows=False, level_offsets=None,
+                       margin_dense=1.2, raw_factor=4):
+    """Full SPC traversal with in-kernel cursor compaction.
+
+    Hybrid sort policy: in-kernel cursor compaction removes the 8x
+    octant-slot sparsity every level; an XLA re-densify sort runs ONLY
+    before levels whose node-table slice exceeds the guaranteed window
+    coverage (2*W_BLK ids, decided statically from ``level_offsets``).
+    Shallow levels are always covered regardless of frontier order (a
+    slice <= 2*W_BLK fits any 3-block fetch), so they pay no sort at
+    all; deep levels sort a frontier that compaction has already shrunk
+    ~5x versus the slotted layout. Without ``level_offsets`` every mid
+    level sorts (safe default).
+
+    Same contract as :func:`traverse_banded`; ``tbl_t`` must be built
+    with ``point_hierarchy`` (node coords in rows 2-4). ``schedule`` is
+    the static per-level NUGGET COUNT tuple from a
+    :func:`render.spc.raytrace.plan_raytrace` probe (or None for the
+    worst-case 8x-growth bound); ``margin_dense`` sizes the post-sort
+    dense frontier, ``raw_factor`` the kernel's sparse output headroom
+    over it (row-granular compaction keeps partially-dead rows).
+
+    Returns (ridx, pidx, depth (N, 1|2), count, overflow[, row_totals]).
+    """
+    assert level >= 1 and level <= 10, level
+    assert num_rays < (1 << 24), num_rays
+    assert (ray_fn_cols is not None) + (ray_fn is not None) + \
+        (origin is not None) == 1, 'give exactly one ray source'
+    npad = tbl_t.shape[1]
+    nblk = npad // W_BLK
+
+    def needs_sort(nl):
+        """Sort the frontier feeding level ``nl``'s gather?"""
+        if nl >= level:
+            return False                  # the final sort handles order
+        if level_offsets is None:
+            return True
+        return (int(level_offsets[nl + 1]) - int(level_offsets[nl])
+                > 2 * W_BLK)
+
+    def dense_rows_for(l):
+        if schedule is None:
+            return None
+        c = int(schedule[l]) if l < len(schedule) else 0
+        return max(RSTEP,
+                   -(-int(-(-c // LANES) * margin_dense) // RSTEP) * RSTEP)
+
+    def ray_planes(ridx):
+        rid = ridx.reshape(-1)
+        if ray_fn is not None:
+            o_rows, d_rows = ray_fn(rid)
+        else:
+            ci = jnp.clip(rid, 0, origin.shape[0] - 1)
+            o_rows, d_rows = origin[ci], direction[ci]
+        iv_rows = 1.0 / d_rows
+        shape = ridx.shape
+        return tuple(a[:, c].reshape(shape)
+                     for a in (o_rows, d_rows, iv_rows) for c in range(3))
+
+    r0 = -(-num_rays // LANES)
+    r0 = -(-r0 // RSTEP) * RSTEP
+    lane_iota = jnp.arange(r0 * LANES, dtype=jnp.int32).reshape(r0, LANES)
+    in_range = lane_iota < num_rays
+    pidx = jnp.where(in_range, 0, -1)
+    ridx = jnp.where(in_range, lane_iota, 0)
+    khi = jnp.zeros((r0, LANES), jnp.int32)
+    klo = jnp.zeros((r0, LANES), jnp.int32)
+
+    overflow = jnp.int32(0)
+    row_totals = []
+    for l in range(level):
+        last = l == level - 1
+        rows_in = pidx.shape[0]
+        steps = rows_in // RSTEP
+        wblk, cbase, cnum, oflow, active = _prepass(pidx, nblk)
+        overflow += oflow
+        lvl_oflow = [oflow]
+        dense_l = dense_rows_for(l)
+        if dense_l is not None:
+            cap_rows = dense_l * raw_factor
+        else:
+            cap_rows = rows_in * 8
+        cap_rows = max(RSTEP, min(-(-cap_rows // RSTEP) * RSTEP,
+                                  rows_in * 8))
+        call = _cc_level_call(l, steps, last, with_exit, ray_fn_cols,
+                              npad, cap_rows, interpret)
+        if ray_fn_cols is None:
+            outs = call(active, wblk, cbase, cnum, pidx, ridx, khi, klo,
+                        *ray_planes(ridx), tbl_t, tbl_t, tbl_t)
+        else:
+            outs = call(active, wblk, cbase, cnum, pidx, ridx, khi, klo,
+                        tbl_t, tbl_t, tbl_t)
+        o_pidx, o_ridx, o_khi, o_klo = outs[0], outs[1], outs[2], outs[3]
+        if last:
+            o_ent = outs[4]
+            o_ext = outs[5] if with_exit else None
+            meta = outs[5 + int(with_exit)]
+        else:
+            meta = outs[4]
+        total = meta[0, 0]
+        cap_excess = jnp.maximum(total - cap_rows, 0)
+        overflow += cap_excess
+        lvl_oflow.append(cap_excess)
+        row_totals.append(jnp.stack([total, lvl_oflow[0], cap_excess]))
+        # stale rows past the cursor (jit buffer reuse): mask dead
+        keep_rows = cap_rows
+        rmask = (jnp.arange(keep_rows, dtype=jnp.int32)[:, None]
+                 < total)
+        pidx = jnp.where(rmask, o_pidx[:keep_rows], -1)
+        ridx = jnp.where(rmask, o_ridx[:keep_rows], 0)
+        khi = jnp.where(rmask, o_khi[:keep_rows], 0)
+        klo = jnp.where(rmask, o_klo[:keep_rows], 0)
+        if last:
+            ent = jnp.where(rmask, o_ent[:keep_rows], 0.)
+            if with_exit:
+                ext = jnp.where(rmask, o_ext[:keep_rows], 0.)
+        if (not last) and needs_sort(l + 1):
+            # re-densify + restore node-id locality before a deep
+            # level: ray-major frontiers scatter across wide id ranges
+            # (window overflow would silently drop subtrees)
+            skey = jnp.where(pidx < 0, _INT_MAX, pidx).reshape(-1)
+            so = jax.lax.sort(
+                (skey, pidx.reshape(-1), ridx.reshape(-1),
+                 khi.reshape(-1), klo.reshape(-1)),
+                num_keys=1, is_stable=False)
+            dn = dense_rows_for(l) if schedule is not None else keep_rows
+            kept = jnp.sum((so[0] != _INT_MAX).astype(jnp.int32))
+            sort_excess = jnp.maximum(kept - dn * LANES, 0)
+            overflow += sort_excess
+            lvl_oflow.append(sort_excess)
+            n_el = dn * LANES
+            pidx = so[1][:n_el].reshape(dn, LANES)
+            ridx = so[2][:n_el].reshape(dn, LANES)
+            khi = so[3][:n_el].reshape(dn, LANES)
+            klo = so[4][:n_el].reshape(dn, LANES)
+
+    # ---- final: restore the reference's exact output order -------------
+    valid = pidx >= 0
+    count = jnp.sum(valid.astype(jnp.int32))
+    key = khi * jnp.int32(8 ** max(level - _KEY_SPLIT, 0)) + klo
+    frid = jnp.where(valid, ridx, _INT_MAX).reshape(-1)
+    fkey = jnp.where(valid, key, _INT_MAX).reshape(-1)
+    ops = [frid, fkey, pidx.reshape(-1), ridx.reshape(-1), ent.reshape(-1)]
+    if with_exit:
+        ops.append(ext.reshape(-1))
+    so = jax.lax.sort(tuple(ops), num_keys=2, is_stable=False)
+    fin_valid = so[0] != _INT_MAX
+    out_ridx = jnp.where(fin_valid, so[3], -1)
+    out_pidx = jnp.where(fin_valid, so[2], -1)
+    depth_cols = [jnp.where(fin_valid, so[4], 0.)]
+    if with_exit:
+        depth_cols.append(jnp.where(fin_valid, so[5], 0.))
+    depth = jnp.stack(depth_cols, axis=-1)
+    ret = (out_ridx, out_pidx, depth, count, overflow)
+    if return_rows:
+        ret += (jnp.stack(row_totals),)
+    return ret

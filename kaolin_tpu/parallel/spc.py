@@ -22,7 +22,8 @@ __all__ = ['sharded_raytrace', 'plan_sharded_raytrace']
 
 def plan_sharded_raytrace(n_shards, octree, point_hierarchy, exsum,
                           origin, direction, level, cap=None,
-                          margin=1.25, ray_fn=None):
+                          margin=1.25, ray_fn=None, level_offsets=None,
+                          return_counts=False):
     """Per-device ``cap_schedule`` for :func:`sharded_raytrace`.
 
     Probes each ray shard separately and takes the elementwise max of
@@ -46,14 +47,19 @@ def plan_sharded_raytrace(n_shards, octree, point_hierarchy, exsum,
                 return ray_fn(ridx + off)
         scheds.append(plan_raytrace(
             octree, point_hierarchy, exsum, origin[sl], direction[sl],
-            level, cap=cap, margin=margin, ray_fn=local_fn))
-    sched = tuple(max(col) for col in zip(*scheds))
+            level, cap=cap, margin=margin, ray_fn=local_fn,
+            level_offsets=level_offsets, return_counts=True))
+    sched = tuple(max(col) for col in zip(*(s0 for s0, _ in scheds)))
+    counts = tuple(max(col) for col in zip(*(c0 for _, c0 in scheds)))
+    if return_counts:
+        return sched, max(max(sched), per), counts
     return sched, max(max(sched), per)
 
 
 def sharded_raytrace(mesh, octree, point_hierarchy, exsum, origin,
                      direction, level, cap_per_device, with_exit=False,
-                     axis='pix', cap_schedule=None, ray_fn=None):
+                     axis='pix', cap_schedule=None, ray_fn=None,
+                     level_offsets=None, backend='auto'):
     """Traces rays sharded along ``axis`` of the device mesh.
 
     Args:
@@ -71,6 +77,12 @@ def sharded_raytrace(mesh, octree, point_hierarchy, exsum, origin,
             :func:`kaolin_tpu.render.spc.raytrace.primary_rays_fn`);
             each shard offsets its local ray indices by
             ``axis_index * rays_per_device`` before calling it.
+        level_offsets / backend: forwarded to
+            :func:`unbatched_raytrace_fixed` — 'banded' runs the
+            cursor-compaction Pallas kernel inside each shard (needs
+            ``cap_schedule`` as per-device raw counts and
+            ``level_offsets``); 'auto' applies the measured gate per
+            shard.
 
     Returns:
         (ray_index, point_index, depth, count): per-device results
@@ -82,13 +94,14 @@ def sharded_raytrace(mesh, octree, point_hierarchy, exsum, origin,
     assert origin.shape[0] % n == 0, (origin.shape, n)
     tracer = _sharded_tracer(mesh, level, int(cap_per_device),
                              bool(with_exit), axis, cap_schedule, ray_fn,
-                             origin.shape[0] // n)
+                             origin.shape[0] // n, level_offsets, backend)
     return tracer(octree, point_hierarchy, exsum, origin, direction)
 
 
 @functools.lru_cache(maxsize=64)
 def _sharded_tracer(mesh, level, cap_per_device, with_exit, axis,
-                    cap_schedule, ray_fn, rays_per_device):
+                    cap_schedule, ray_fn, rays_per_device,
+                    level_offsets=None, backend='auto'):
     """Builds (and caches) the jitted shard_map tracer for one config.
 
     ``ray_fn`` is part of the jit cache key by identity; memoizing the
@@ -111,7 +124,8 @@ def _sharded_tracer(mesh, level, cap_per_device, with_exit, axis,
                 return ray_fn(ridx + off)
         ridx, pidx, depth, count = unbatched_raytrace_fixed(
             octree_, ph_, exsum_, o_, d_, level, cap_per_device,
-            with_exit, cap_schedule=cap_schedule, ray_fn=local_fn)
+            with_exit, cap_schedule=cap_schedule, ray_fn=local_fn,
+            level_offsets=level_offsets, backend=backend)
         return ridx, pidx, depth, count[None]
 
     return jax.jit(inner)

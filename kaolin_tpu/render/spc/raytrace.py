@@ -169,15 +169,27 @@ def level_offsets_from_octree(octree):
     return tuple(np.concatenate([[0], np.cumsum(counts)]).tolist())
 
 
+def _banded_viable(level, cap_schedule, level_offsets, num_rays):
+    """Measured gate for backend='auto' (TPU, 2026-08-21): the
+    cursor-compaction banded kernel beats the XLA path once a probe
+    schedule exists (13.46 vs 26.6 ms at 256^2/L8 — see BASELINE.md);
+    without a schedule its worst-case buffers are unusable, and below a
+    few thousand rays the fixed per-call cost dominates."""
+    return (cap_schedule is not None and level_offsets is not None
+            and 1 <= level <= 10 and num_rays >= 4096
+            and jax.default_backend() == 'tpu')
+
+
 @functools.partial(jax.jit, static_argnames=('level', 'cap', 'with_exit',
                                              'cap_schedule',
                                              'return_level_counts',
-                                             'ray_fn', 'level_offsets'))
+                                             'ray_fn', 'level_offsets',
+                                             'backend'))
 def unbatched_raytrace_fixed(octree, point_hierarchy, exsum, origin,
                              direction, level, cap, with_exit=False,
                              cap_schedule=None,
                              return_level_counts=False, ray_fn=None,
-                             level_offsets=None):
+                             level_offsets=None, backend='auto'):
     """Statically-shaped SPC ray trace.
 
     Children are culled at emission: each level gathers its (already hit)
@@ -219,11 +231,57 @@ def unbatched_raytrace_fixed(octree, point_hierarchy, exsum, origin,
         depth (cap, 1 or 2) float, count () int32 — the TRUE number of
         intersections (may exceed ``cap`` on overflow); entries past
         ``min(count, cap)`` hold ray/point index -1 and depth 0.
+
+    ``backend``: 'xla' (the sort-compaction path), 'banded' (the
+    cursor-compaction Pallas kernel, ``kernels/spc_traverse.py`` —
+    requires ``cap_schedule`` + ``level_offsets``; bit-exact vs 'xla'
+    and ~2x faster on TPU, measured 2026-08-21), or 'auto' (banded when
+    its requirements are met and the measured rule favors it — see
+    ``_banded_viable``). On banded overflow (undersized schedule or
+    window) the returned count exceeds ``cap`` exactly like the XLA
+    path's overflow signal; :func:`unbatched_raytrace` then falls back
+    to the XLA backend.
     """
     num_rays = origin.shape[0]
     assert num_rays <= cap, (num_rays, cap)
     dtype = origin.dtype
     INF = jnp.int32(0x7FFFFFFF)
+
+    assert backend in ('auto', 'xla', 'banded'), backend
+    if backend == 'banded' or (
+            backend == 'auto' and _banded_viable(level, cap_schedule,
+                                                 level_offsets, num_rays)):
+        assert not return_level_counts, \
+            'plan with the XLA backend (return_level_counts)'
+        assert cap_schedule is not None and level_offsets is not None, \
+            "backend='banded' needs cap_schedule and level_offsets"
+        from ...kernels.spc_traverse import (build_node_table_t,
+                                             traverse_banded_cc)
+        tbl = build_node_table_t(octree, exsum, point_hierarchy)
+        kw = (dict(ray_fn=ray_fn) if ray_fn is not None
+              else dict(origin=origin, direction=direction))
+        b_ridx, b_pidx, b_depth, b_count, b_oflow = traverse_banded_cc(
+            tbl, num_rays, int(level),
+            tuple(int(c) for c in cap_schedule),
+            with_exit=with_exit,
+            level_offsets=tuple(int(v) for v in level_offsets),
+            interpret=jax.default_backend() != 'tpu', **kw)
+        n = b_ridx.shape[0]
+        if n >= cap:
+            b_ridx, b_pidx, b_depth = (b_ridx[:cap], b_pidx[:cap],
+                                       b_depth[:cap])
+            # nuggets beyond cap are real: surface through the count
+            b_oflow = b_oflow + jnp.maximum(b_count - cap, 0)
+        else:
+            pad = cap - n
+            b_ridx = jnp.concatenate(
+                [b_ridx, jnp.full((pad,), -1, jnp.int32)])
+            b_pidx = jnp.concatenate(
+                [b_pidx, jnp.full((pad,), -1, jnp.int32)])
+            b_depth = jnp.concatenate(
+                [b_depth, jnp.zeros((pad, b_depth.shape[1]), dtype)])
+        total = jnp.where(b_oflow > 0, jnp.int32(cap) + b_oflow, b_count)
+        return b_ridx, b_pidx, b_depth, total
 
     # packed per-node table: octree byte (8 bits) | exsum << 8 — one gather
     # yields both. The pack caps child ids at 2**23 (int32 sign bit);
@@ -446,7 +504,7 @@ def plan_raytrace(octree, point_hierarchy, exsum, origin, direction,
 
 def unbatched_raytrace(octree, point_hierarchy, pyramid, exsum, origin,
                        direction, level, return_depth=True, with_exit=False,
-                       max_nuggets=None):
+                       max_nuggets=None, backend='xla'):
     """Ray-traces an unbatched SPC, returning dynamically-sized results.
 
     Behavior matches ``kaolin.render.spc.unbatched_raytrace``
@@ -461,6 +519,10 @@ def unbatched_raytrace(octree, point_hierarchy, pyramid, exsum, origin,
         return_depth / with_exit: include entry (and exit) depths.
         max_nuggets: static buffer capacity (default: 64 * num_rays,
             doubled on overflow automatically).
+        backend: 'xla' (default — one-shot tracing), or 'banded' (the
+            Pallas cursor-compaction kernel: probes once with the XLA
+            path to plan buffers, so it only pays off when tracing the
+            same scene repeatedly; overflow falls back to 'xla').
 
     Returns:
         (ray_index (N,), point_index (N,)[, depth (N, 1 or 2)]).
@@ -468,13 +530,26 @@ def unbatched_raytrace(octree, point_hierarchy, pyramid, exsum, origin,
     num_rays = origin.shape[0]
     cap = int(max_nuggets) if max_nuggets is not None else 64 * num_rays
     offs = level_offsets_from_octree(octree)
+    sched = None
+    if backend == 'banded':
+        _, sched = plan_raytrace(octree, point_hierarchy, exsum, origin,
+                                 direction, level, cap=cap,
+                                 level_offsets=offs, return_counts=True)
     while True:
         ridx, pidx, depth, count = unbatched_raytrace_fixed(
             octree, point_hierarchy, exsum, origin, direction,
-            int(level), cap, bool(with_exit), level_offsets=offs)
+            int(level), cap, bool(with_exit), level_offsets=offs,
+            cap_schedule=sched,
+            backend='banded' if backend == 'banded' else 'xla')
         n = int(count)
         if n <= cap:
             break
+        if backend == 'banded':
+            # banded overflow (undersized schedule or window): the XLA
+            # path has no such failure mode — fall back
+            backend = 'xla'
+            sched = None
+            continue
         cap = max(2 * cap, n)
     ridx = ridx[:n]
     pidx = pidx[:n]
