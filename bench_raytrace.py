@@ -65,8 +65,12 @@ def main():
     o, d = ray_fn(jnp.arange(num_rays, dtype=jnp.int32))
 
     offs = level_offsets_from_octree(octree)
+    # worst-case probe caps of 64x rays OOM HBM at 1024^2 (67M nuggets
+    # x 8 candidates x 11 sort operands); 4x rays (floor 4M) covers
+    # every measured level count with plenty of headroom
+    plan_cap = min(64 * num_rays, max(4 * num_rays, 4_194_304))
     sched, raw_counts = plan_raytrace(octree, ph, exsum, o, d, args.level,
-                                      cap=64 * num_rays, ray_fn=ray_fn,
+                                      cap=plan_cap, ray_fn=ray_fn,
                                       level_offsets=offs,
                                       return_counts=True)
     cap = max(max(int(c) for c in sched), num_rays)

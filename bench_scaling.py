@@ -38,6 +38,11 @@ def main():
                    help='octree level for --workload raytrace')
     p.add_argument('--points', type=int, default=100000,
                    help='surface points for --workload raytrace')
+    p.add_argument('--rt-backend', choices=('auto', 'xla', 'banded'),
+                   default='auto',
+                   help='raytrace backend inside each shard (banded = '
+                        'the cursor-compaction Pallas kernel under '
+                        'shard_map)')
     p.add_argument('--json-out', type=str, default=None,
                    help='append result records to this JSON-lines file')
     p.add_argument('--rast-backend', default=None,
@@ -182,16 +187,24 @@ def _bench_raytrace(mesh, args, jax, jnp, np, kal):
     num_rays = args.res * args.res
     o, d = ray_fn(jnp.arange(num_rays, dtype=jnp.int32))
     n = mesh.shape['pix']
-    sched, cap = plan_sharded_raytrace(
-        n, octree, ph, exsum, o, d, args.level, cap=64 * num_rays,
-        ray_fn=ray_fn)
+    from kaolin_tpu.render.spc.raytrace import level_offsets_from_octree
+    offs = level_offsets_from_octree(octree)
+    plan_cap = min(64 * num_rays, max(4 * num_rays, 4_194_304))
+    sched, cap, counts = plan_sharded_raytrace(
+        n, octree, ph, exsum, o, d, args.level, cap=plan_cap,
+        ray_fn=ray_fn, level_offsets=offs, return_counts=True)
+    if args.rt_backend == 'banded':
+        sched_used, backend = counts, 'banded'
+    else:
+        sched_used, backend = sched, args.rt_backend
 
     @jax.jit
     def run(o, d):
         def step(c, _):
             ridx, pidx, depth, count = sharded_raytrace(
                 mesh, octree, ph, exsum, o + c * 1e-12, d, args.level,
-                cap, cap_schedule=sched, ray_fn=ray_fn)
+                cap, cap_schedule=sched_used, ray_fn=ray_fn,
+                level_offsets=offs, backend=backend)
             return c + (count.sum() & 1).astype(jnp.float32) * 1e-6, None
         c, _ = jax.lax.scan(step, jnp.float32(0), None, length=args.iters)
         return c

@@ -14,6 +14,13 @@ def tetrahedron_volume(tet_vertices):
     """Signed volume of each tetrahedron: ``(A-D)·((B-D)x(C-D)) / 6``.
 
     Reference: ``kaolin/metrics/tetmesh.py:20``.
+    
+    Example:
+        >>> import jax.numpy as jnp
+        >>> tet = jnp.asarray([[[[0., 0., 0.], [1., 0., 0.],
+        ...                      [0., 1., 0.], [0., 0., 1.]]]])
+        >>> print(round(float(tetrahedron_volume(tet)[0, 0]), 6))
+        -0.166667
     """
     _validate_tet_vertices(tet_vertices)
     A = tet_vertices[:, :, 0]

@@ -132,6 +132,15 @@ def point_to_mesh_distance(pointclouds, face_vertices, backend='auto'):
         type 0 = face interior, 1-3 = vertex, 4-6 = edge (flag overlaps
         keep the reference's summed codes, e.g. 10). Distance is
         differentiable w.r.t. both inputs through the fixed assignment.
+    
+    Example:
+        >>> import jax.numpy as jnp
+        >>> pts = jnp.asarray([[[0.25, 0.25, 1.0]]])
+        >>> tri = jnp.asarray([[[[0., 0., 0.], [1., 0., 0.],
+        ...                      [0., 1., 0.]]]])
+        >>> d, idx, dtype_ = point_to_mesh_distance(pts, tri)
+        >>> print(round(float(d[0, 0]), 5), int(idx[0, 0]))
+        1.0 0
     """
     pts_ng = jax.lax.stop_gradient(pointclouds)
     fv_ng = jax.lax.stop_gradient(face_vertices)

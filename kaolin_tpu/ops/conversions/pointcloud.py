@@ -50,6 +50,13 @@ def pointclouds_to_voxelgrids(pointclouds, resolution, origin=None,
 
     Returns:
         (batch_size, resolution, resolution, resolution) float.
+    
+    Example:
+        >>> import jax.numpy as jnp
+        >>> pc = jnp.asarray([[[-1., -1., -1.], [1., 1., 1.]]])
+        >>> vg = pointclouds_to_voxelgrids(pc, 2)
+        >>> print(vg[0, 0, 0, 0], vg[0, 1, 1, 1])
+        1.0 1.0
     """
     if not isinstance(resolution, int):
         raise TypeError(f"Expected resolution to be int "

@@ -37,6 +37,13 @@ def normalize_adj(adj):
     """Row-normalizes an adjacency matrix (sparse BCOO or dense).
 
     Reference: ``kaolin/ops/gcn.py:48``.
+    
+    Example:
+        >>> import jax.numpy as jnp
+        >>> adj = jnp.asarray([[0., 1.], [1., 0.]]) + jnp.eye(2)
+        >>> print(normalize_adj(adj))
+        [[0.5 0.5]
+         [0.5 0.5]]
     """
     if isinstance(adj, jsparse.BCOO):
         norm = (adj @ jnp.ones((adj.shape[0], 1), adj.dtype))[:, 0]

@@ -32,6 +32,13 @@ def inverse_vertices_offset(tet_vertices):
 
     Returns:
         (batch_size, num_tetrahedrons, 3, 3).
+    
+    Example:
+        >>> import jax.numpy as jnp
+        >>> tet = jnp.asarray([[[[0., 0., 0.], [1., 0., 0.],
+        ...                      [0., 1., 0.], [0., 0., 1.]]]])
+        >>> print(inverse_vertices_offset(tet).shape)
+        (1, 1, 3, 3)
     """
     _validate_tet_vertices(tet_vertices)
     A = tet_vertices[:, :, 0:1]

@@ -69,6 +69,12 @@ def sample_spherical_coords(shape, azimuth_low=0., azimuth_high=2. * np.pi,
 
     Reference: ``kaolin/ops/random.py:175`` — elevation is sampled with a
     sin-uniform distribution so points are uniform on the sphere surface.
+    
+    Example:
+        >>> manual_seed(0)
+        >>> az, el = sample_spherical_coords((2,))
+        >>> az.shape, bool((az >= 0).all())
+        ((2,), True)
     """
     if key is None:
         key = get_key()

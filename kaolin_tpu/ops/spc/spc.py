@@ -56,6 +56,14 @@ def scan_octrees(octrees, lengths):
     Returns:
         (max_level (int), pyramids (host numpy int32 (B, 2, L+2)),
         exsum (jnp int32, size total_bytes + batch_size)).
+    
+    Example:
+        >>> import numpy as np, jax.numpy as jnp
+        >>> octree = jnp.asarray([255], jnp.uint8)   # root, 8 children
+        >>> max_level, pyramids, exsum = scan_octrees(
+        ...     octree, np.array([1]))
+        >>> int(max_level), int(exsum[-1])
+        (1, 8)
     """
     octrees_np = np.asarray(octrees)
     lengths_np = np.asarray(lengths)

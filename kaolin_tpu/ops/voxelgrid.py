@@ -35,6 +35,12 @@ def downsample(voxelgrids, scale):
     """Average-pools a voxelgrid down by ``scale`` per dimension.
 
     Reference: ``kaolin/ops/voxelgrid.py:21``.
+    
+    Example:
+        >>> import jax.numpy as jnp
+        >>> vg = jnp.ones((1, 4, 4, 4))
+        >>> print(downsample(vg, [2, 2, 2]).shape)
+        (1, 2, 2, 2)
     """
     if isinstance(scale, (list, tuple)):
         if len(scale) != 3:

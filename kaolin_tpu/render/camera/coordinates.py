@@ -9,7 +9,11 @@ __all__ = ['blender_coords', 'opengl_coords']
 
 
 def blender_coords():
-    """Blender: right-handed, z up."""
+    """Blender: right-handed, z up.
+    Example:
+        >>> print(blender_coords().astype(int).tolist())
+        [[1, 0, 0], [0, 0, 1], [0, -1, 0]]
+    """
     return jnp.asarray([[1, 0, 0],
                         [0, 0, 1],
                         [0, -1, 0]], jnp.float32)

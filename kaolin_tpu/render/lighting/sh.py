@@ -20,6 +20,12 @@ def project_onto_sh9(directions):
 
     Returns:
         array of shape ``directions.shape[:-1] + (9,)``.
+    
+    Example:
+        >>> import jax.numpy as jnp
+        >>> sh = project_onto_sh9(jnp.asarray([[0., 0., 1.]]))
+        >>> print(sh.shape, round(float(sh[0, 0]), 4))
+        (1, 9) 0.2821
     """
     if isinstance(directions, (list, tuple)):
         directions = jnp.asarray(directions, jnp.float32)

@@ -22,6 +22,16 @@ MODULES = [
     'kaolin_tpu.metrics.voxelgrid',
     'kaolin_tpu.metrics.pointcloud',
     'kaolin_tpu.render.spc.raytrace',
+    'kaolin_tpu.ops.gcn',
+    'kaolin_tpu.ops.voxelgrid',
+    'kaolin_tpu.ops.random',
+    'kaolin_tpu.ops.mesh.tetmesh',
+    'kaolin_tpu.ops.spc.spc',
+    'kaolin_tpu.ops.conversions.pointcloud',
+    'kaolin_tpu.metrics.trianglemesh',
+    'kaolin_tpu.metrics.tetmesh',
+    'kaolin_tpu.render.lighting.sh',
+    'kaolin_tpu.render.camera.coordinates',
 ]
 
 
