@@ -85,13 +85,31 @@ def main():
         # as its cap_schedule (it applies margin_dense internally)
         bkw = {} if args.ray_mode == 'cols' else dict(ray_fn=ray_fn)
 
+        # row probe: measure the kernel's actual per-level output rows
+        # once, then re-trace with tight raw capacities (the default
+        # raw_factor=4 headroom otherwise inflates sort inputs and the
+        # per-level masking/plane passes ~4x)
+        from kaolin_tpu.kernels.spc_traverse import (build_node_table_t,
+                                                     traverse_banded_cc)
+        tblp = build_node_table_t(octree, exsum, ph)
+        pkw = dict(ray_fn=ray_fn) if 'ray_fn' in bkw else dict(
+            origin=o, direction=d)
+        probe = traverse_banded_cc(
+            tblp, num_rays, args.level, raw_counts, raw_factor=6,
+            level_offsets=tuple(offs), return_rows=True, **pkw)
+        assert int(np.asarray(probe[4])) == 0, 'row-probe overflow'
+        rrows = tuple(
+            max(32, -(-int(r) * 23 // (20 * 32)) * 32)   # x1.15
+            for r in np.asarray(probe[5])[:, 0])
+        print(f'# banded raw_rows={rrows}', flush=True)
+
         # correctness gate before timing: no overflow (count <= cap)
         # and nugget-count parity with the XLA path — an undersized
         # schedule would otherwise silently time a truncated traversal
         _, _, _, bcount = (np.asarray(v) for v in unbatched_raytrace_fixed(
             octree, ph, exsum, o, d, args.level, cap,
             cap_schedule=raw_counts, level_offsets=offs,
-            backend='banded', **bkw))
+            backend='banded', banded_raw_rows=rrows, **bkw))
         assert int(bcount) == ref_nuggets, (int(bcount), ref_nuggets)
 
         @jax.jit
@@ -100,7 +118,7 @@ def main():
                 ridx, pidx, depth, count = unbatched_raytrace_fixed(
                     octree, ph, exsum, o + c * 1e-12, d, args.level, cap,
                     cap_schedule=raw_counts, level_offsets=offs,
-                    backend='banded', **bkw)
+                    backend='banded', banded_raw_rows=rrows, **bkw)
                 return c + (count & 1).astype(jnp.float32) * 1e-6, None
             c, _ = jax.lax.scan(step, jnp.float32(0), None,
                                 length=args.iters)

@@ -164,7 +164,8 @@ def bench_raytrace(iters):
     from kaolin_tpu.render.spc import (unbatched_raytrace_fixed,
                                        generate_primary_rays)
     from kaolin_tpu.render.spc.raytrace import (plan_raytrace,
-                                                level_offsets_from_octree)
+                                                level_offsets_from_octree,
+                                                primary_rays_fn)
 
     rng = np.random.default_rng(0)
     dirs = rng.normal(size=(200_000, 3))
@@ -175,21 +176,42 @@ def bench_raytrace(iters):
     lengths = np.array([len(np.asarray(octree))])
     _, pyramids, exsum = scan_octrees(octree, lengths)
     ph = generate_points(octree, pyramids, exsum)
-    o, d = generate_primary_rays(256, 256, jnp.asarray([0., 0., 2.5]),
-                                 jnp.zeros(3), jnp.asarray([0., 1., 0.]),
-                                 np.pi / 3)
+    # ray_fn mode: the origin/direction ARRAY mode re-gathers 6 ray
+    # planes per level by compacted ray index (~90 ms of row gathers at
+    # this scale under the banded backend) — primary rays recompute
+    # from the closure instead
+    ray_fn = primary_rays_fn(256, 256, jnp.asarray([0., 0., 2.5]),
+                             jnp.zeros(3), jnp.asarray([0., 1., 0.]),
+                             np.pi / 3)
+    o, d = ray_fn(jnp.arange(65536, dtype=jnp.int32))
     offs = level_offsets_from_octree(octree)
-    sched = plan_raytrace(octree, ph, exsum, o, d, level, cap=64 * 65536,
-                          level_offsets=offs)
+    sched, counts = plan_raytrace(octree, ph, exsum, o, d, level,
+                                  cap=64 * 65536, level_offsets=offs,
+                                  ray_fn=ray_fn, return_counts=True)
     cap = max(max(int(c) for c in sched), 65536)
+    # the shipped default: backend='auto' (banded on TPU once a probe
+    # schedule exists). Parity-gate against the XLA path once so an
+    # undersized schedule can't silently time a truncated traversal.
+    ref_n = int(unbatched_raytrace_fixed(
+        octree, ph, exsum, o, d, level, cap, cap_schedule=sched,
+        ray_fn=ray_fn, level_offsets=offs, backend='xla')[3])
+    auto_n = int(unbatched_raytrace_fixed(
+        octree, ph, exsum, o, d, level, cap, cap_schedule=counts,
+        ray_fn=ray_fn, level_offsets=offs)[3])
+    assert auto_n == ref_n, (auto_n, ref_n)
 
     def step(o):
         _, _, dep, cnt = unbatched_raytrace_fixed(
-            octree, ph, exsum, o, d, level, cap, cap_schedule=sched,
-            level_offsets=offs)
+            octree, ph, exsum, o, d, level, cap, cap_schedule=counts,
+            ray_fn=ray_fn, level_offsets=offs)
         return o + 1e-20 * jnp.max(dep)
 
+    import jax as _jax
+    from kaolin_tpu.render.spc.raytrace import _banded_viable
+    backend = ('banded' if _banded_viable(level, counts, offs, 65536)
+               else 'xla')
     return {'metric': 'spc_raytrace_256_L8', 'unit': 'ms/trace',
+            'backend_auto': backend,
             'value': round(_time(step, o, iters), 3)}
 
 

@@ -972,12 +972,12 @@ def rows_schedule_from_counts(counts, margin=2.0):
 @functools.partial(jax.jit, static_argnames=(
     'num_rays', 'level', 'schedule', 'with_exit', 'ray_fn_cols',
     'ray_fn', 'interpret', 'return_rows', 'level_offsets',
-    'margin_dense', 'raw_factor'))
+    'margin_dense', 'raw_factor', 'raw_rows'))
 def traverse_banded_cc(tbl_t, num_rays, level, schedule, ray_fn_cols=None,
                        ray_fn=None, origin=None, direction=None,
                        with_exit=False, interpret=False,
                        return_rows=False, level_offsets=None,
-                       margin_dense=1.2, raw_factor=4):
+                       margin_dense=1.2, raw_factor=6, raw_rows=None):
     """Full SPC traversal with in-kernel cursor compaction.
 
     Hybrid sort policy: in-kernel cursor compaction removes the 8x
@@ -996,7 +996,9 @@ def traverse_banded_cc(tbl_t, num_rays, level, schedule, ray_fn_cols=None,
     :func:`render.spc.raytrace.plan_raytrace` probe (or None for the
     worst-case 8x-growth bound); ``margin_dense`` sizes the post-sort
     dense frontier, ``raw_factor`` the kernel's sparse output headroom
-    over it (row-granular compaction keeps partially-dead rows).
+    over it (row-granular compaction keeps partially-dead rows; the
+    measured sort-free-chain density floor ~0.18 needs the 6x default —
+    pass probe-measured ``raw_rows`` to run tight instead).
 
     Returns (ridx, pidx, depth (N, 1|2), count, overflow[, row_totals]).
     """
@@ -1054,7 +1056,12 @@ def traverse_banded_cc(tbl_t, num_rays, level, schedule, ray_fn_cols=None,
         overflow += oflow
         lvl_oflow = [oflow]
         dense_l = dense_rows_for(l)
-        if dense_l is not None:
+        if raw_rows is not None:
+            # probe-measured per-level kernel-output rows (x margin):
+            # tight capacities shrink the sort inputs, the masking
+            # passes, and the ray-plane materialization ~raw_factor-x
+            cap_rows = int(raw_rows[l])
+        elif dense_l is not None:
             cap_rows = dense_l * raw_factor
         else:
             cap_rows = rows_in * 8
@@ -1097,9 +1104,10 @@ def traverse_banded_cc(tbl_t, num_rays, level, schedule, ray_fn_cols=None,
             # level: ray-major frontiers scatter across wide id ranges
             # (window overflow would silently drop subtrees)
             skey = jnp.where(pidx < 0, _INT_MAX, pidx).reshape(-1)
+            kpack = (khi << 15) | klo           # both < 2^15: one operand
             so = jax.lax.sort(
                 (skey, pidx.reshape(-1), ridx.reshape(-1),
-                 khi.reshape(-1), klo.reshape(-1)),
+                 kpack.reshape(-1)),
                 num_keys=1, is_stable=False)
             dn = dense_rows_for(l) if schedule is not None else keep_rows
             kept = jnp.sum((so[0] != _INT_MAX).astype(jnp.int32))
@@ -1109,8 +1117,9 @@ def traverse_banded_cc(tbl_t, num_rays, level, schedule, ray_fn_cols=None,
             n_el = dn * LANES
             pidx = so[1][:n_el].reshape(dn, LANES)
             ridx = so[2][:n_el].reshape(dn, LANES)
-            khi = so[3][:n_el].reshape(dn, LANES)
-            klo = so[4][:n_el].reshape(dn, LANES)
+            kp = so[3][:n_el].reshape(dn, LANES)
+            khi = kp >> 15
+            klo = kp & 0x7FFF
 
     # ---- final: restore the reference's exact output order -------------
     valid = pidx >= 0

@@ -184,12 +184,14 @@ def _banded_viable(level, cap_schedule, level_offsets, num_rays):
                                              'cap_schedule',
                                              'return_level_counts',
                                              'ray_fn', 'level_offsets',
-                                             'backend'))
+                                             'backend',
+                                             'banded_raw_rows'))
 def unbatched_raytrace_fixed(octree, point_hierarchy, exsum, origin,
                              direction, level, cap, with_exit=False,
                              cap_schedule=None,
                              return_level_counts=False, ray_fn=None,
-                             level_offsets=None, backend='auto'):
+                             level_offsets=None, backend='auto',
+                             banded_raw_rows=None):
     """Statically-shaped SPC ray trace.
 
     Children are culled at emission: each level gathers its (already hit)
@@ -265,6 +267,7 @@ def unbatched_raytrace_fixed(octree, point_hierarchy, exsum, origin,
             tuple(int(c) for c in cap_schedule),
             with_exit=with_exit,
             level_offsets=tuple(int(v) for v in level_offsets),
+            raw_rows=banded_raw_rows,
             interpret=jax.default_backend() != 'tpu', **kw)
         n = b_ridx.shape[0]
         if n >= cap:

@@ -259,18 +259,19 @@ def test_traverse_banded_exact():
                                                 primary_rays_fn_cols)
     from kaolin_tpu.kernels.spc_traverse import (build_node_table_t,
                                                  traverse_banded)
-    # a small level-4 SPC keeps interpret-mode runtime sane; TPU-side
+    # a small level-3 SPC keeps interpret-mode runtime sane; TPU-side
     # parity at level 8/10 is covered by the bench harness comparisons
-    level = 4
+    # (bit-exact at both scales, BASELINE.md 2026-08-21)
+    level = 3
     rng = np.random.default_rng(3)
-    dirs = rng.normal(size=(1500, 3))
+    dirs = rng.normal(size=(700, 3))
     dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
     qpts = quantize_points(jnp.asarray(dirs * 0.7, jnp.float32), level)
     octree = unbatched_points_to_octree(qpts, level)
     lengths = np.array([len(np.asarray(octree))])
     _, pyramids, exsum = scan_octrees(octree, lengths)
     ph = generate_points(octree, pyramids, exsum)
-    H = W = 16
+    H = W = 12
     cam = (jnp.asarray([0.3, 0.2, 2.5]), jnp.zeros(3),
            jnp.asarray([0., 1., 0.]), jnp.pi / 3)
     ray_fn = primary_rays_fn(H, W, *cam)
@@ -303,11 +304,11 @@ def test_traverse_banded_exact():
         np.testing.assert_allclose(np.asarray(out[2][:n]),
                                    np.asarray(ref[2][:n]),
                                    atol=2e-6, rtol=0)
-    ref3 = unbatched_raytrace_fixed(octree, ph, exsum, o, d, 3,
+    ref3 = unbatched_raytrace_fixed(octree, ph, exsum, o, d, 2,
                                     num_rays * 32)
     rn3 = int(ref3[3])
     for kw in (dict(ray_fn=ray_fn), dict(origin=o, direction=d)):
-        out = traverse_banded(tbl, num_rays, 3, None, interpret=True, **kw)
+        out = traverse_banded(tbl, num_rays, 2, None, interpret=True, **kw)
         n, ov = int(out[3]), int(out[4])
         assert ov == 0 and n == rn3 and n > 0
         assert np.array_equal(np.asarray(out[0][:n]), np.asarray(ref3[0][:n]))
@@ -504,16 +505,16 @@ def test_traverse_banded_cc_exact():
                                                 primary_rays_fn_cols)
     from kaolin_tpu.kernels.spc_traverse import (build_node_table_t,
                                                  traverse_banded_cc)
-    level = 4
+    level = 3
     rng = np.random.default_rng(3)
-    dirs = rng.normal(size=(1500, 3))
+    dirs = rng.normal(size=(700, 3))
     dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
     qpts = quantize_points(jnp.asarray(dirs * 0.7, jnp.float32), level)
     octree = unbatched_points_to_octree(qpts, level)
     lengths = np.array([len(np.asarray(octree))])
     _, pyramids, exsum = scan_octrees(octree, lengths)
     ph = generate_points(octree, pyramids, exsum)
-    H = W = 16
+    H = W = 12
     cam = (jnp.asarray([0.3, 0.2, 2.5]), jnp.zeros(3),
            jnp.asarray([0., 1., 0.]), jnp.pi / 3)
     ray_fn = primary_rays_fn(H, W, *cam)
@@ -564,8 +565,8 @@ def test_raytrace_banded_public_api(sphere_spc):
                                                 level_offsets_from_octree,
                                                 primary_rays_fn)
     octree, ph, pyramid, exsum, level = sphere_spc
-    level = 4                      # keep interpret-mode runtime sane
-    H = W = 16
+    level = 3                      # keep interpret-mode runtime sane
+    H = W = 12
     ray_fn = primary_rays_fn(H, W, jnp.asarray([0., 0., 2.5]),
                              jnp.zeros(3), jnp.asarray([0., 1., 0.]),
                              jnp.pi / 3)
