@@ -972,12 +972,13 @@ def rows_schedule_from_counts(counts, margin=2.0):
 @functools.partial(jax.jit, static_argnames=(
     'num_rays', 'level', 'schedule', 'with_exit', 'ray_fn_cols',
     'ray_fn', 'interpret', 'return_rows', 'level_offsets',
-    'margin_dense', 'raw_factor', 'raw_rows'))
+    'margin_dense', 'raw_factor', 'raw_rows', 'max_sortfree_chain'))
 def traverse_banded_cc(tbl_t, num_rays, level, schedule, ray_fn_cols=None,
                        ray_fn=None, origin=None, direction=None,
                        with_exit=False, interpret=False,
                        return_rows=False, level_offsets=None,
-                       margin_dense=1.2, raw_factor=6, raw_rows=None):
+                       margin_dense=1.2, raw_factor=6, raw_rows=None,
+                       max_sortfree_chain=3):
     """Full SPC traversal with in-kernel cursor compaction.
 
     Hybrid sort policy: in-kernel cursor compaction removes the 8x
@@ -1009,14 +1010,29 @@ def traverse_banded_cc(tbl_t, num_rays, level, schedule, ray_fn_cols=None,
     npad = tbl_t.shape[1]
     nblk = npad // W_BLK
 
+    last_sorted = [0]
+
     def needs_sort(nl):
-        """Sort the frontier feeding level ``nl``'s gather?"""
+        """Sort the frontier feeding level ``nl``'s gather? Required
+        when the level's table slice exceeds the guaranteed window
+        coverage; optionally also when the sort-free chain exceeds
+        ``max_sortfree_chain`` levels (lane sparsity compounds ~0.6x
+        per unsorted level — a mid-chain sort resets density; measured
+        sweep at 512^2/L10, 2026-08-21: chain 3/4/5/none = 37.3 / 39.5
+        / 38.2 / 48.5 ms, so 3 is the default)."""
         if nl >= level:
             return False                  # the final sort handles order
         if level_offsets is None:
-            return True
-        return (int(level_offsets[nl + 1]) - int(level_offsets[nl])
-                > 2 * W_BLK)
+            out = True
+        else:
+            out = (int(level_offsets[nl + 1]) - int(level_offsets[nl])
+                   > 2 * W_BLK)
+        if (not out and max_sortfree_chain is not None
+                and nl - last_sorted[0] >= max_sortfree_chain):
+            out = True
+        if out:
+            last_sorted[0] = nl
+        return out
 
     def dense_rows_for(l):
         if schedule is None:

@@ -26,28 +26,33 @@ class PinholeIntrinsics(CameraIntrinsics):
     # --- constructors ----------------------------------------------------
     @classmethod
     def from_focal(cls, width, height, focal_x, focal_y=None, x0=0., y0=0.,
-                   near=1e-2, far=1e2, num_cameras=1, dtype=jnp.float32):
+                   near=1e-2, far=1e2, num_cameras=1, dtype=jnp.float32,
+                   ndc_min=-1., ndc_max=1.):
         """From focal length in pixels (``intrinsics_pinhole.py:160``)."""
         if focal_y is None:
             focal_y = focal_x
         params = jnp.broadcast_to(
             jnp.asarray([x0, y0, focal_x, focal_y], dtype),
             (num_cameras, 4))
-        return cls(width, height, params, near=near, far=far)
+        return cls(width, height, params, near=near, far=far,
+                   ndc_min=ndc_min, ndc_max=ndc_max)
 
     @classmethod
     def from_fov(cls, width, height, fov, fov_direction=CameraFOV.VERTICAL,
                  x0=0., y0=0., near=1e-2, far=1e2, num_cameras=1,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, ndc_min=-1., ndc_max=1.):
         """From a field-of-view angle in radians
-        (``intrinsics_pinhole.py:199``)."""
+        (``intrinsics_pinhole.py:199``). ``ndc_min``/``ndc_max`` select
+        the NDC depth convention ([-1,1], [0,1], or reversed-z [1,0] —
+        reference ``intrinsics_pinhole.py:435-446``)."""
         assert fov_direction in (CameraFOV.HORIZONTAL, CameraFOV.VERTICAL)
         tanHalfAngle = math.tan(fov / 2.)
         aspectScale = width / 2.0 \
             if fov_direction is CameraFOV.HORIZONTAL else height / 2.0
         focal = aspectScale / tanHalfAngle
         return cls.from_focal(width, height, focal, focal, x0, y0, near,
-                              far, num_cameras, dtype)
+                              far, num_cameras, dtype, ndc_min=ndc_min,
+                              ndc_max=ndc_max)
 
     # --- parameters ------------------------------------------------------
     @property
@@ -116,8 +121,14 @@ class PinholeIntrinsics(CameraIntrinsics):
             U = -2.0 * near * far / (far - near)
             V = -(far + near) / (far - near)
         elif self.ndc_min == 0 and self.ndc_max == 1:
+            # NOTE: deviates from the reference (intrinsics_pinhole.py
+            # :438-440), whose V sign is flipped: solving the comment's
+            # own system (0 = -U/(-n) - V, 1 = -U/(-f) - V) gives
+            # V = far / (near - far); the reference's positive V maps
+            # near -> -2f/(f-n) instead of 0. Validated by
+            # tests/test_intrinsics.py ndc-range endpoint checks.
             U = (near * far) / (near - far)
-            V = far / (far - near)
+            V = far / (near - far)
         elif self.ndc_min == 1 and self.ndc_max == 0:
             U = (near * far) / (far - near)
             V = near / (far - near)

@@ -82,3 +82,56 @@ def test_spherical_cartesian_convention_and_roundtrip():
     x1, y1, z1 = spherical2cartesian(az, el)
     np.testing.assert_allclose(np.asarray(x1 * x1 + y1 * y1 + z1 * z1),
                                1., atol=1e-6)
+
+
+def test_list_to_padded_custom_shape_and_value():
+    """Explicit max_shape (over the non-last dims) + padding_value
+    (reference ops/batch.py:254), plus the undersized-max_shape error."""
+    from kaolin_tpu.ops.batch import list_to_padded, padded_to_list
+    a = jnp.arange(6.).reshape(2, 3)
+    b = jnp.arange(3.).reshape(1, 3)
+    padded, shapes = list_to_padded([a, b], max_shape=(4,),
+                                    padding_value=-7.)
+    assert padded.shape == (2, 4, 3)
+    assert float(padded[0, 3, 2]) == -7.
+    assert float(padded[1, 0, 2]) == 2.
+    back = padded_to_list(padded, shapes)
+    np.testing.assert_array_equal(np.asarray(back[0]), np.asarray(a))
+    np.testing.assert_array_equal(np.asarray(back[1]), np.asarray(b))
+    with pytest.raises((ValueError, AssertionError)):
+        list_to_padded([a, b], max_shape=(1,))
+
+
+def test_packed_to_padded_and_back():
+    from kaolin_tpu.ops.batch import (list_to_packed, packed_to_padded,
+                                      padded_to_packed)
+    ts = [jnp.full((n, 2), float(i)) for i, n in enumerate((3, 1, 4))]
+    packed, shapes = list_to_packed(ts)
+    padded = packed_to_padded(packed, shapes, padding_value=0.)
+    assert padded.shape == (3, 4, 2)
+    assert float(padded[1, 0, 0]) == 1. and float(padded[1, 3, 0]) == 0.
+    repacked = padded_to_packed(padded, shapes)
+    np.testing.assert_array_equal(np.asarray(repacked),
+                                  np.asarray(packed))
+
+
+def test_packed_ops_preserve_dtype():
+    from kaolin_tpu.ops.batch import list_to_packed, list_to_padded
+    for dt in (jnp.float32, jnp.float64, jnp.int32):
+        ts = [jnp.ones((2, 3), dt), jnp.ones((4, 3), dt)]
+        packed, _ = list_to_packed(ts)
+        padded, _ = list_to_padded(ts)
+        assert packed.dtype == dt and padded.dtype == dt
+
+
+def test_single_and_empty_subtensors():
+    from kaolin_tpu.ops.batch import list_to_packed, packed_to_list
+    from kaolin_tpu.ops.reduction import packed_simple_sum
+    ts = [jnp.ones((0, 3)), jnp.full((2, 3), 5.), jnp.ones((1, 3))]
+    packed, shapes = list_to_packed(ts)
+    assert packed.shape == (3, 3)
+    back = packed_to_list(packed, shapes)
+    assert back[0].shape == (0, 3) and back[2].shape == (1, 3)
+    # packed_simple_sum sums over ALL elements per sub-tensor
+    sums = packed_simple_sum(packed, np.asarray([0, 2, 1]))
+    np.testing.assert_allclose(np.asarray(sums), [0., 30., 3.])
