@@ -403,7 +403,7 @@ def make_level_call(l, steps, last, with_exit, ray_fn_cols, npad,
     )
 
 
-def _prepass(pidx_rows, nblk):
+def _prepass(pidx_rows, nblk, rstep=RSTEP):
     """Window/chunk schedule for a (rows, 128) frontier: per-step table
     block index, per-row chunk base/count, and a coverage-overflow flag
     (a step's ids must fit the two fetched blocks). Empty rows get a
@@ -412,8 +412,8 @@ def _prepass(pidx_rows, nblk):
     rmin = jnp.min(jnp.where(valid, pidx_rows, _INT_MAX), axis=1)
     rmax = jnp.max(jnp.where(valid, pidx_rows, -1), axis=1)
     empty = rmax < 0
-    smin = jnp.min(rmin.reshape(-1, RSTEP), axis=1)    # INT_MAX if all empty
-    smax = jnp.max(rmax.reshape(-1, RSTEP), axis=1)
+    smin = jnp.min(rmin.reshape(-1, rstep), axis=1)    # INT_MAX if all empty
+    smax = jnp.max(rmax.reshape(-1, rstep), axis=1)
     wblk = jnp.clip(smin // W_BLK, 0, nblk - 2)
     covered = (smax < (wblk + 3) * W_BLK) | (smax < 0)
     overflow = jnp.sum(jnp.logical_not(covered).astype(jnp.int32))
@@ -640,7 +640,7 @@ _KEY_SPLIT = 5          # key_hi takes levels < split, key_lo the rest
 
 
 def _cc_gather(i, rr, pidx_row, cbase_ref, cnum_ref, wblk,
-               tbl_a, tbl_b, tbl_c):
+               tbl_a, tbl_b, tbl_c, rstep=RSTEP):
     """Windowed one-hot gather of one frontier row's node words:
     returns (8, LANES) f32 [byte, child_base, px, py, pz, 0, 0, 0]."""
     f32 = jnp.float32
@@ -648,7 +648,7 @@ def _cc_gather(i, rr, pidx_row, cbase_ref, cnum_ref, wblk,
     pidx_r = pidx_row.reshape(1, LANES)
 
     def chunk_body(k, acc):
-        cb = cbase_ref[0, i * RSTEP + rr] + k
+        cb = cbase_ref[0, i * rstep + rr] + k
         off_a = cb * CHUNK - wblk * W_BLK
         in_a = off_a < W_BLK
         in_b = off_a < 2 * W_BLK
@@ -667,7 +667,7 @@ def _cc_gather(i, rr, pidx_row, cbase_ref, cnum_ref, wblk,
             vals, onehot, precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=f32)
 
-    return jax.lax.fori_loop(0, cnum_ref[0, i * RSTEP + rr], chunk_body,
+    return jax.lax.fori_loop(0, cnum_ref[0, i * rstep + rr], chunk_body,
                              jnp.zeros((8, LANES), f32))
 
 
@@ -675,7 +675,8 @@ def _cc_kernel_body(l, last, with_exit, ray_fn_cols, ray_refs, cap_rows,
                     active_ref, wblk_ref, cbase_ref, cnum_ref,
                     pidx_ref, ridx_ref, khi_ref, klo_ref,
                     tbl_a, tbl_b, tbl_c,
-                    out_refs, meta_ref, stage_refs, cursor_ref, sems):
+                    out_refs, meta_ref, stage_refs, cursor_ref, sems,
+                    rstep=RSTEP):
     i = pl.program_id(0)
     f32 = jnp.float32
     dt = f32
@@ -690,9 +691,9 @@ def _cc_kernel_body(l, last, with_exit, ray_fn_cols, ray_refs, cap_rows,
         wblk = wblk_ref[0, i]
         byte_rows, base_rows = [], []
         pxr, pyr, pzr = [], [], []
-        for rr in range(RSTEP):
+        for rr in range(rstep):
             acc = _cc_gather(i, rr, pidx_ref[rr, :], cbase_ref, cnum_ref,
-                             wblk, tbl_a, tbl_b, tbl_c)
+                             wblk, tbl_a, tbl_b, tbl_c, rstep)
             byte_rows.append(acc[0:1, :])
             base_rows.append(acc[1:2, :])
             pxr.append(acc[2:3, :])
@@ -818,11 +819,11 @@ def _cc_kernel_body(l, last, with_exit, ray_fn_cols, ray_refs, cap_rows,
         # output order is (parent-row, slot): an output step's rows then
         # hold children of only ~4 parent rows, keeping window spans
         # tight. All prefix math is exact f32 matmuls (values < 2**24).
-        tri_ex = (jax.lax.broadcasted_iota(jnp.int32, (RSTEP, RSTEP), 1) <
-                  jax.lax.broadcasted_iota(jnp.int32, (RSTEP, RSTEP), 0)
+        tri_ex = (jax.lax.broadcasted_iota(jnp.int32, (rstep, rstep), 1) <
+                  jax.lax.broadcasted_iota(jnp.int32, (rstep, rstep), 0)
                   ).astype(f32)
-        eye = (jax.lax.broadcasted_iota(jnp.int32, (RSTEP, RSTEP), 0) ==
-               jax.lax.broadcasted_iota(jnp.int32, (RSTEP, RSTEP), 1)
+        eye = (jax.lax.broadcasted_iota(jnp.int32, (rstep, rstep), 0) ==
+               jax.lax.broadcasted_iota(jnp.int32, (rstep, rstep), 1)
                ).astype(f32)
         valid_cols = []
         for s in range(8):
@@ -848,11 +849,11 @@ def _cc_kernel_body(l, last, with_exit, ray_fn_cols, ray_refs, cap_rows,
         # posr/vr: (8, RSTEP)
 
         used_f = jnp.sum(cnt8)
-        io0 = jax.lax.broadcasted_iota(jnp.int32, (RSTEP * 8, RSTEP), 0)
+        io0 = jax.lax.broadcasted_iota(jnp.int32, (rstep * 8, rstep), 0)
         f32_fields = {}
         for nm in names:
             f32_fields[nm] = [planes[s][nm].astype(f32) for s in range(8)]
-        outs = {nm: jnp.zeros((RSTEP * 8, LANES), f32) for nm in names}
+        outs = {nm: jnp.zeros((rstep * 8, LANES), f32) for nm in names}
         for s in range(8):
             st = ((io0 == posr[s:s + 1].astype(jnp.int32))
                   & (vr[s:s + 1] > 0.5)).astype(f32)         # (256, RSTEP)
@@ -873,7 +874,7 @@ def _cc_kernel_body(l, last, with_exit, ray_fn_cols, ray_refs, cap_rows,
         copies = []
         for f, (stage, outr) in enumerate(zip(stage_refs, out_refs)):
             cp = pltpu.make_async_copy(
-                stage, outr.at[pl.ds(cur_c, RSTEP * 8), :], sems[f])
+                stage, outr.at[pl.ds(cur_c, rstep * 8), :], sems[f])
             cp.start()
             copies.append(cp)
         for cp in copies:
@@ -884,13 +885,13 @@ def _cc_kernel_body(l, last, with_exit, ray_fn_cols, ray_refs, cap_rows,
 
 
 def _cc_level_call(l, steps, last, with_exit, ray_fn_cols, npad, cap_rows,
-                   interpret=False):
+                   interpret=False, rstep=RSTEP):
     """pallas_call for one cursor-compaction traversal level."""
     xla_rays = ray_fn_cols is None
     i32 = jnp.int32
     f32 = jnp.float32
     nfields = 4 + (1 + int(with_exit) if last else 0)
-    buf_rows = cap_rows + RSTEP * 8
+    buf_rows = cap_rows + rstep * 8
     out_shapes = [jax.ShapeDtypeStruct((buf_rows, LANES), i32)] * 4
     if last:
         out_shapes.append(jax.ShapeDtypeStruct((buf_rows, LANES), f32))
@@ -918,9 +919,10 @@ def _cc_level_call(l, steps, last, with_exit, ray_fn_cols, npad, cap_rows,
                         active_ref, wblk_ref, cbase_ref, cnum_ref,
                         pidx_ref, ridx_ref, khi_ref, klo_ref,
                         tbl_a, tbl_b, tbl_c,
-                        out_refs, meta_ref, stage_refs, cursor_ref, sems)
+                        out_refs, meta_ref, stage_refs, cursor_ref, sems,
+                        rstep)
 
-    frontier_spec = pl.BlockSpec((RSTEP, LANES), lambda i, *_: (i, 0),
+    frontier_spec = pl.BlockSpec((rstep, LANES), lambda i, *_: (i, 0),
                                  memory_space=pltpu.VMEM)
     nblk = npad // W_BLK
 
@@ -933,8 +935,8 @@ def _cc_level_call(l, steps, last, with_exit, ray_fn_cols, npad, cap_rows,
     def tbl_map_c(i, active_ref, wblk_ref, cbase_ref, cnum_ref):
         return (0, jnp.minimum(wblk_ref[0, i] + 2, nblk - 1))
 
-    stage_types = ([pltpu.VMEM((RSTEP * 8, LANES), i32)] * 4
-                   + ([pltpu.VMEM((RSTEP * 8, LANES), f32)]
+    stage_types = ([pltpu.VMEM((rstep * 8, LANES), i32)] * 4
+                   + ([pltpu.VMEM((rstep * 8, LANES), f32)]
                       * (nfields - 4)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -957,28 +959,17 @@ def _cc_level_call(l, steps, last, with_exit, ray_fn_cols, npad, cap_rows,
     )
 
 
-def rows_schedule_from_counts(counts, margin=2.0):
-    """Static per-level output ROW capacities for
-    :func:`traverse_banded_cc` from probed per-level nugget counts.
-    Row-granular compaction keeps whole 128-lane rows whose octant slot
-    has any survivor, so rows exceed ``count/128`` by the lane-sparsity
-    factor — default margin 2.0 covers the measured ~50-75% density;
-    re-probe with the kernel's own row totals to tighten."""
-    return tuple(
-        max(RSTEP, -(-(-(-int(c) // LANES) * margin) // RSTEP) * RSTEP)
-        for c in counts)
-
-
 @functools.partial(jax.jit, static_argnames=(
     'num_rays', 'level', 'schedule', 'with_exit', 'ray_fn_cols',
     'ray_fn', 'interpret', 'return_rows', 'level_offsets',
-    'margin_dense', 'raw_factor', 'raw_rows', 'max_sortfree_chain'))
+    'margin_dense', 'raw_factor', 'raw_rows', 'max_sortfree_chain',
+    'rstep'))
 def traverse_banded_cc(tbl_t, num_rays, level, schedule, ray_fn_cols=None,
                        ray_fn=None, origin=None, direction=None,
                        with_exit=False, interpret=False,
                        return_rows=False, level_offsets=None,
                        margin_dense=1.2, raw_factor=6, raw_rows=None,
-                       max_sortfree_chain=3):
+                       max_sortfree_chain=3, rstep=RSTEP):
     """Full SPC traversal with in-kernel cursor compaction.
 
     Hybrid sort policy: in-kernel cursor compaction removes the 8x
@@ -1038,8 +1029,8 @@ def traverse_banded_cc(tbl_t, num_rays, level, schedule, ray_fn_cols=None,
         if schedule is None:
             return None
         c = int(schedule[l]) if l < len(schedule) else 0
-        return max(RSTEP,
-                   -(-int(-(-c // LANES) * margin_dense) // RSTEP) * RSTEP)
+        return max(rstep,
+                   -(-int(-(-c // LANES) * margin_dense) // rstep) * rstep)
 
     def ray_planes(ridx):
         rid = ridx.reshape(-1)
@@ -1054,7 +1045,7 @@ def traverse_banded_cc(tbl_t, num_rays, level, schedule, ray_fn_cols=None,
                      for a in (o_rows, d_rows, iv_rows) for c in range(3))
 
     r0 = -(-num_rays // LANES)
-    r0 = -(-r0 // RSTEP) * RSTEP
+    r0 = -(-r0 // rstep) * rstep
     lane_iota = jnp.arange(r0 * LANES, dtype=jnp.int32).reshape(r0, LANES)
     in_range = lane_iota < num_rays
     pidx = jnp.where(in_range, 0, -1)
@@ -1067,8 +1058,8 @@ def traverse_banded_cc(tbl_t, num_rays, level, schedule, ray_fn_cols=None,
     for l in range(level):
         last = l == level - 1
         rows_in = pidx.shape[0]
-        steps = rows_in // RSTEP
-        wblk, cbase, cnum, oflow, active = _prepass(pidx, nblk)
+        steps = rows_in // rstep
+        wblk, cbase, cnum, oflow, active = _prepass(pidx, nblk, rstep)
         overflow += oflow
         lvl_oflow = [oflow]
         dense_l = dense_rows_for(l)
@@ -1081,10 +1072,10 @@ def traverse_banded_cc(tbl_t, num_rays, level, schedule, ray_fn_cols=None,
             cap_rows = dense_l * raw_factor
         else:
             cap_rows = rows_in * 8
-        cap_rows = max(RSTEP, min(-(-cap_rows // RSTEP) * RSTEP,
+        cap_rows = max(rstep, min(-(-cap_rows // rstep) * rstep,
                                   rows_in * 8))
         call = _cc_level_call(l, steps, last, with_exit, ray_fn_cols,
-                              npad, cap_rows, interpret)
+                              npad, cap_rows, interpret, rstep)
         if ray_fn_cols is None:
             outs = call(active, wblk, cbase, cnum, pidx, ridx, khi, klo,
                         *ray_planes(ridx), tbl_t, tbl_t, tbl_t)

@@ -262,13 +262,17 @@ def unbatched_raytrace_fixed(octree, point_hierarchy, exsum, origin,
         tbl = build_node_table_t(octree, exsum, point_hierarchy)
         kw = (dict(ray_fn=ray_fn) if ray_fn is not None
               else dict(origin=origin, direction=direction))
+        interp = jax.default_backend() != 'tpu'
         b_ridx, b_pidx, b_depth, b_count, b_oflow = traverse_banded_cc(
             tbl, num_rays, int(level),
             tuple(int(c) for c in cap_schedule),
             with_exit=with_exit,
             level_offsets=tuple(int(v) for v in level_offsets),
             raw_rows=banded_raw_rows,
-            interpret=jax.default_backend() != 'tpu', **kw)
+            # 8-row steps keep interpret-mode (CPU test) runtime sane;
+            # production TPU uses the tuned 32-row steps
+            rstep=8 if interp else 32,
+            interpret=interp, **kw)
         n = b_ridx.shape[0]
         if n >= cap:
             b_ridx, b_pidx, b_depth = (b_ridx[:cap], b_pidx[:cap],

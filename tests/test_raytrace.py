@@ -271,7 +271,7 @@ def test_traverse_banded_exact():
     lengths = np.array([len(np.asarray(octree))])
     _, pyramids, exsum = scan_octrees(octree, lengths)
     ph = generate_points(octree, pyramids, exsum)
-    H = W = 12
+    H = W = 8
     cam = (jnp.asarray([0.3, 0.2, 2.5]), jnp.zeros(3),
            jnp.asarray([0., 1., 0.]), jnp.pi / 3)
     ray_fn = primary_rays_fn(H, W, *cam)
@@ -514,7 +514,7 @@ def test_traverse_banded_cc_exact():
     lengths = np.array([len(np.asarray(octree))])
     _, pyramids, exsum = scan_octrees(octree, lengths)
     ph = generate_points(octree, pyramids, exsum)
-    H = W = 12
+    H = W = 8
     cam = (jnp.asarray([0.3, 0.2, 2.5]), jnp.zeros(3),
            jnp.asarray([0., 1., 0.]), jnp.pi / 3)
     ray_fn = primary_rays_fn(H, W, *cam)
@@ -529,7 +529,7 @@ def test_traverse_banded_cc_exact():
                                        backend='xla')
         rn = int(ref[3])
         out = traverse_banded_cc(tbl, num_rays, level, None,
-                                 ray_fn_cols=ray_cols,
+                                 ray_fn_cols=ray_cols, rstep=8,
                                  with_exit=with_exit, interpret=True)
         n, ov = int(out[3]), int(out[4])
         assert ov == 0 and n == rn and n > 0
@@ -548,7 +548,7 @@ def test_traverse_banded_cc_exact():
     for kw in (dict(ray_fn=ray_fn),
                dict(ray_fn=ray_fn, level_offsets=None),
                dict(origin=o, direction=d)):
-        out = traverse_banded_cc(tbl, num_rays, level, sched,
+        out = traverse_banded_cc(tbl, num_rays, level, sched, rstep=8,
                                  interpret=True, raw_factor=6, **kw)
         n, ov = int(out[3]), int(out[4])
         assert ov == 0 and n == int(ref[3])
@@ -566,7 +566,7 @@ def test_raytrace_banded_public_api(sphere_spc):
                                                 primary_rays_fn)
     octree, ph, pyramid, exsum, level = sphere_spc
     level = 3                      # keep interpret-mode runtime sane
-    H = W = 12
+    H = W = 8
     ray_fn = primary_rays_fn(H, W, jnp.asarray([0., 0., 2.5]),
                              jnp.zeros(3), jnp.asarray([0., 1., 0.]),
                              jnp.pi / 3)
