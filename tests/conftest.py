@@ -17,3 +17,19 @@ import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', True)
+
+
+import gc
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope='module')
+def _clear_jax_caches_per_module():
+    """In-process accumulation of XLA compile caches makes the full
+    suite ~2x slower than the per-file sum on this 2-core host (jit
+    cache pressure + GC); dropping caches between modules keeps the
+    end-to-end run near the standalone timings."""
+    yield
+    jax.clear_caches()
+    gc.collect()
