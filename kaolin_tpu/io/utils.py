@@ -40,6 +40,19 @@ def heterogeneous_mesh_handler_naive_homogenize(vertices,
     """Triangulates n-gons with a naive fan (0,1,2), (0,2,3), ...
 
     Reference: ``kaolin/io/utils.py:45``.
+
+    Example:
+        >>> import numpy as np, jax.numpy as jnp
+        >>> verts = jnp.zeros((5, 3))
+        >>> counts = np.array([4])  # one quad
+        >>> idx = np.array([0, 1, 2, 3])
+        >>> _, new_counts, faces = \\
+        ...     heterogeneous_mesh_handler_naive_homogenize(verts, counts, idx)
+        >>> print(faces)
+        [[0 1 2]
+         [0 2 3]]
+        >>> print(new_counts)
+        [3 3]
     """
     import numpy as np
 

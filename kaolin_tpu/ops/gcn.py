@@ -67,22 +67,22 @@ class GraphConv:
         self.self_layer = self_layer
         self.bias = bias
 
-    def init(self, key):
+    def init(self, key, dtype=jnp.float32):
         k1, k2 = jax.random.split(key)
         bound = 1. / np.sqrt(self.input_dim)
         params = {
             'weight': jax.random.uniform(
-                k1, (self.input_dim, self.output_dim),
+                k1, (self.input_dim, self.output_dim), dtype,
                 minval=-bound, maxval=bound),
         }
         if self.bias:
-            params['bias'] = jnp.zeros((self.output_dim,))
+            params['bias'] = jnp.zeros((self.output_dim,), dtype)
         if self.self_layer:
             params['weight_self'] = jax.random.uniform(
-                k2, (self.input_dim, self.output_dim),
+                k2, (self.input_dim, self.output_dim), dtype,
                 minval=-bound, maxval=bound)
             if self.bias:
-                params['bias_self'] = jnp.zeros((self.output_dim,))
+                params['bias_self'] = jnp.zeros((self.output_dim,), dtype)
         return params
 
     def apply(self, params, node_feat, adj, normalize_adj=True):

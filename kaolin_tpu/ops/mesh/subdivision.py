@@ -37,6 +37,16 @@ def subdivide_trianglemesh(vertices, faces, iterations, alpha=None):
 
     Returns:
         (new_vertices (B, V', 3), new_faces (F * 4**iterations, 3)).
+
+    Example:
+        >>> import jax.numpy as jnp
+        >>> v = jnp.asarray([[[0., 0., 0.], [1., 0., 0.], [0., 1., 0.]]])
+        >>> f = jnp.asarray([[0, 1, 2]])
+        >>> nv, nf = subdivide_trianglemesh(v, f, 1)
+        >>> nv.shape, nf.shape  # 3 corners + 3 edge midpoints, 4 faces
+        ((1, 6, 3), (4, 3))
+        >>> bool(jnp.all(nv[0, 3:].max(0) <= v[0].max(0)))
+        True
     """
     faces_np = np.asarray(faces)
     init_alpha = alpha

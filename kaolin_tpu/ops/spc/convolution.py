@@ -141,14 +141,14 @@ class _ConvBase:
         self.jump = jump
         self.use_bias = bias
 
-    def init(self, key):
+    def init(self, key, dtype=jnp.float32):
         K = self.kernel_vectors.shape[0]
         std = 1. / np.sqrt(self.in_channels * K)
         params = {'weight': jax.random.uniform(
-            key, (K, self.in_channels, self.out_channels),
+            key, (K, self.in_channels, self.out_channels), dtype,
             minval=-std, maxval=std)}
         if self.use_bias:
-            params['bias'] = jnp.zeros((self.out_channels,))
+            params['bias'] = jnp.zeros((self.out_channels,), dtype)
         return params
 
 

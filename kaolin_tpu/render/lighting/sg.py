@@ -94,7 +94,18 @@ def sg_warp_specular_term(amplitude, direction, sharpness, normal,
 
 
 def cosine_lobe_sg(direction):
-    """Clamped-cosine lobe as an SG (``sg.py:184``)."""
+    """Clamped-cosine lobe as an SG (``sg.py:184``).
+
+    Example:
+        >>> import jax.numpy as jnp
+        >>> amp, dirn, sharp = cosine_lobe_sg(jnp.asarray([[0., 0., 1.]]))
+        >>> amp.shape, dirn.shape, sharp.shape
+        ((1, 3), (1, 3), (1,))
+        >>> integ = approximate_sg_integral(amp, sharp)
+        >>> bool(jnp.allclose(integ, 2 * 3.14159265 * 1.17 / 2.133,
+        ...                   rtol=1e-5))
+        True
+    """
     amplitude = jnp.full_like(direction, 1.17)
     sharpness = jnp.full_like(direction[:, 0], 2.133)
     return amplitude, direction, sharpness

@@ -47,6 +47,14 @@ def check_tensor(tensor, shape=None, dtype=None, throw=True):
     """Checks a tensor against expected shape (None entries = wildcard) / dtype.
 
     Reference: ``kaolin/utils/testing.py:63``.
+
+    Example:
+        >>> import jax.numpy as jnp
+        >>> t = jnp.zeros((4, 3), jnp.float32)
+        >>> check_tensor(t, shape=(4, None), dtype=jnp.float32)
+        True
+        >>> check_tensor(t, shape=(5, 3), throw=False)
+        False
     """
     if shape is not None:
         if len(shape) != tensor.ndim:

@@ -32,6 +32,10 @@ MODULES = [
     'kaolin_tpu.metrics.tetmesh',
     'kaolin_tpu.render.lighting.sh',
     'kaolin_tpu.render.camera.coordinates',
+    'kaolin_tpu.ops.mesh.subdivision',
+    'kaolin_tpu.io.utils',
+    'kaolin_tpu.utils.testing',
+    'kaolin_tpu.render.lighting.sg',
 ]
 
 

@@ -1,0 +1,309 @@
+"""Sparse octree convolutions: dense-oracle parity, transposed-conv
+adjointness, jump (up/down-sampling) levels, autodiff, and the functional
+``Conv3d``/``ConvTranspose3d`` layers.
+
+Reference behavior: ``kaolin/ops/spc/convolution.py:68,285`` and its test
+suite ``tests/python/kaolin/ops/spc/test_conv.py`` (which validates the
+sparse conv against a dense ``torch.nn.functional.conv3d`` oracle); here
+the oracle is a plain numpy loop over kernel offsets on a dict-indexed
+sparse grid, which exercises the same neighborhood semantics without a
+dense volume.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from kaolin_tpu.ops.spc import (unbatched_points_to_octree, scan_octrees,
+                                generate_points, unbatched_get_level_points)
+from kaolin_tpu.ops.spc.convolution import (conv3d, conv_transpose3d,
+                                            Conv3d, ConvTranspose3d)
+
+
+def _full_kernel(radius=1):
+    """All offsets in [0, radius]^3 — matches the reference's positive
+    kernel-vector convention (child offsets), K = (radius+1)^3."""
+    r = np.arange(0, radius + 1)
+    kv = np.stack(np.meshgrid(r, r, r, indexing='ij'), -1).reshape(-1, 3)
+    return kv.astype(np.int16)
+
+
+def _build_spc(level, n_points, seed):
+    rng = np.random.default_rng(seed)
+    pts = rng.integers(0, 2 ** level, (n_points, 3))
+    pts = np.unique(pts, axis=0).astype(np.int16)
+    octree = unbatched_points_to_octree(jnp.asarray(pts), level)
+    max_level, pyramids, exsum = scan_octrees(
+        octree, np.array([int(octree.shape[0])]))
+    ph = generate_points(octree, pyramids, exsum)
+    return octree, ph, pyramids, exsum, max_level
+
+
+def _level_table(ph, pyramids, level):
+    """coord-tuple -> row index into that level's feature matrix."""
+    pts = np.asarray(unbatched_get_level_points(ph, pyramids[0], level))
+    return {tuple(p): i for i, p in enumerate(pts)}, pts
+
+
+def _oracle_conv(table_in, pts_out, x, w, kv, jump):
+    """Y_q = sum_k X[2^jump * q + kv[k]] @ W_k (missing neighbors = 0)."""
+    out = np.zeros((pts_out.shape[0], w.shape[-1]), np.float64)
+    for qi, q in enumerate(pts_out):
+        for k, off in enumerate(kv):
+            p = tuple((2 ** jump) * q + off)
+            if p in table_in:
+                out[qi] += x[table_in[p]] @ w[k]
+    return out
+
+
+def _oracle_conv_transpose(table_in, pts_out, x, w, kv, jump):
+    """out_p = sum_k X[(p - kv[k]) / 2^jump] @ W_k over divisible shifts."""
+    step = 2 ** jump
+    out = np.zeros((pts_out.shape[0], w.shape[-1]), np.float64)
+    for pi, p in enumerate(pts_out):
+        for k, off in enumerate(kv):
+            shifted = p.astype(np.int64) - off
+            if (shifted < 0).any() or (shifted % step).any():
+                continue
+            q = tuple(shifted // step)
+            if q in table_in:
+                out[pi] += x[table_in[q]] @ w[k]
+    return out
+
+
+@pytest.fixture(scope='module')
+def spc_l3():
+    return _build_spc(level=3, n_points=40, seed=7)
+
+
+def test_conv3d_matches_dense_oracle(spc_l3):
+    octree, ph, pyramids, exsum, level = spc_l3
+    rng = np.random.default_rng(1)
+    table, pts = _level_table(ph, pyramids, level)
+    kv = _full_kernel(1)
+    x = rng.standard_normal((len(pts), 5)).astype(np.float32)
+    w = rng.standard_normal((kv.shape[0], 5, 4)).astype(np.float32)
+    out, out_level = conv3d(octree, ph, level, pyramids, exsum,
+                            jnp.asarray(x), jnp.asarray(w), kv)
+    assert out_level == level
+    expected = _oracle_conv(table, pts, x, w, kv, jump=0)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_conv3d_jump_downsamples_to_parent_level(spc_l3):
+    octree, ph, pyramids, exsum, level = spc_l3
+    rng = np.random.default_rng(2)
+    table_in, pts_in = _level_table(ph, pyramids, level)
+    _, pts_out = _level_table(ph, pyramids, level - 1)
+    kv = _full_kernel(1)
+    x = rng.standard_normal((len(pts_in), 3)).astype(np.float32)
+    w = rng.standard_normal((kv.shape[0], 3, 2)).astype(np.float32)
+    out, out_level = conv3d(octree, ph, level, pyramids, exsum,
+                            jnp.asarray(x), jnp.asarray(w), kv, jump=1)
+    assert out_level == level - 1
+    assert out.shape == (pts_out.shape[0], 2)
+    expected = _oracle_conv(table_in, pts_out, x, w, kv, jump=1)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-5,
+                               atol=2e-5)
+    # every parent cell covers at least its own doubled coordinate, so
+    # with the full positive kernel no output row can be all-zero
+    assert (np.abs(expected).sum(-1) > 0).all()
+
+
+def test_conv_transpose3d_matches_oracle(spc_l3):
+    octree, ph, pyramids, exsum, level = spc_l3
+    rng = np.random.default_rng(3)
+    in_level = level - 1
+    table_in, pts_in = _level_table(ph, pyramids, in_level)
+    _, pts_out = _level_table(ph, pyramids, level)
+    kv = _full_kernel(1)
+    x = rng.standard_normal((len(pts_in), 4)).astype(np.float32)
+    w = rng.standard_normal((kv.shape[0], 4, 3)).astype(np.float32)
+    out, out_level = conv_transpose3d(octree, ph, in_level, pyramids, exsum,
+                                      jnp.asarray(x), jnp.asarray(w), kv,
+                                      jump=1)
+    assert out_level == level
+    expected = _oracle_conv_transpose(table_in, pts_out, x, w, kv, jump=1)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_conv_transpose_is_adjoint_of_conv(spc_l3):
+    """<conv3d(X), Z> == <X, conv_transpose3d(Z, W^T)> — the defining
+    property of the transposed convolution (reference builds the
+    transposed neighborhood map from the same Conv3d map,
+    ``kaolin/ops/spc/convolution.py:285``)."""
+    octree, ph, pyramids, exsum, level = spc_l3
+    rng = np.random.default_rng(4)
+    _, pts_in = _level_table(ph, pyramids, level)
+    _, pts_coarse = _level_table(ph, pyramids, level - 1)
+    kv = _full_kernel(1)
+    x = jnp.asarray(rng.standard_normal((len(pts_in), 6)), jnp.float32)
+    z = jnp.asarray(rng.standard_normal((len(pts_coarse), 5)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((kv.shape[0], 6, 5)), jnp.float32)
+    y, _ = conv3d(octree, ph, level, pyramids, exsum, x, w, kv, jump=1)
+    xt, _ = conv_transpose3d(octree, ph, level - 1, pyramids, exsum, z,
+                             jnp.transpose(w, (0, 2, 1)), kv, jump=1)
+    lhs = float(jnp.vdot(y, z))
+    rhs = float(jnp.vdot(x, xt))
+    assert lhs == pytest.approx(rhs, rel=1e-4)
+
+
+def test_conv3d_input_grad_matches_transpose(spc_l3):
+    """Autodiff through conv3d reproduces conv_transpose3d with the
+    channel-transposed weights — the sparse analogue of
+    d(conv)/d(input) = conv_transpose."""
+    octree, ph, pyramids, exsum, level = spc_l3
+    rng = np.random.default_rng(5)
+    _, pts_in = _level_table(ph, pyramids, level)
+    _, pts_coarse = _level_table(ph, pyramids, level - 1)
+    kv = _full_kernel(1)
+    x = jnp.asarray(rng.standard_normal((len(pts_in), 4)), jnp.float32)
+    cot = jnp.asarray(rng.standard_normal((len(pts_coarse), 3)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((kv.shape[0], 4, 3)), jnp.float32)
+
+    def loss(xx):
+        y, _ = conv3d(octree, ph, level, pyramids, exsum, xx, w, kv, jump=1)
+        return jnp.vdot(y, cot)
+
+    grad = jax.grad(loss)(x)
+    expected, _ = conv_transpose3d(octree, ph, level - 1, pyramids, exsum,
+                                   cot, jnp.transpose(w, (0, 2, 1)), kv,
+                                   jump=1)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(expected),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_conv3d_pointwise_fast_path_and_bias(spc_l3):
+    octree, ph, pyramids, exsum, level = spc_l3
+    rng = np.random.default_rng(6)
+    _, pts = _level_table(ph, pyramids, level)
+    x = rng.standard_normal((len(pts), 3)).astype(np.float32)
+    w = rng.standard_normal((1, 3, 2)).astype(np.float32)
+    b = rng.standard_normal(2).astype(np.float32)
+    out, out_level = conv3d(octree, ph, level, pyramids, exsum,
+                            jnp.asarray(x), jnp.asarray(w),
+                            np.zeros((1, 3), np.int16), bias=jnp.asarray(b))
+    assert out_level == level
+    np.testing.assert_allclose(np.asarray(out), x @ w[0] + b, rtol=1e-5,
+                               atol=1e-6)
+    # bias also applies on the general (K > 1) path
+    kv = _full_kernel(1)
+    wk = rng.standard_normal((kv.shape[0], 3, 2)).astype(np.float32)
+    with_b, _ = conv3d(octree, ph, level, pyramids, exsum, jnp.asarray(x),
+                       jnp.asarray(wk), kv, bias=jnp.asarray(b))
+    without_b, _ = conv3d(octree, ph, level, pyramids, exsum,
+                          jnp.asarray(x), jnp.asarray(wk), kv)
+    np.testing.assert_allclose(np.asarray(with_b) - np.asarray(without_b),
+                               np.broadcast_to(b, with_b.shape), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_conv_layers_init_and_apply(spc_l3):
+    octree, ph, pyramids, exsum, level = spc_l3
+    _, pts_in = _level_table(ph, pyramids, level)
+    _, pts_coarse = _level_table(ph, pyramids, level - 1)
+    kv = _full_kernel(1)
+    layer = Conv3d(4, 8, kv, jump=1, bias=True)
+    params = layer.init(jax.random.PRNGKey(0))
+    assert params['weight'].shape == (kv.shape[0], 4, 8)
+    assert params['bias'].shape == (8,)
+    bound = 1. / np.sqrt(4 * kv.shape[0])
+    wv = np.asarray(params['weight'])
+    assert wv.min() >= -bound and wv.max() <= bound
+
+    x = jnp.ones((len(pts_in), 4), jnp.float32)
+    out, out_level = layer(params, octree, ph, level, pyramids, exsum, x)
+    assert out.shape == (len(pts_coarse), 8) and out_level == level - 1
+    manual, _ = conv3d(octree, ph, level, pyramids, exsum, x,
+                       params['weight'], kv, jump=1, bias=params['bias'])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(manual))
+
+    tlayer = ConvTranspose3d(8, 4, kv, jump=1, bias=False)
+    tparams = tlayer.init(jax.random.PRNGKey(1))
+    assert 'bias' not in tparams
+    z = jnp.ones((len(pts_coarse), 8), jnp.float32)
+    up, up_level = tlayer(tparams, octree, ph, level - 1, pyramids, exsum, z)
+    assert up.shape == (len(pts_in), 4) and up_level == level
+
+
+def test_conv3d_rejects_batched_pyramids(spc_l3):
+    octree, ph, pyramids, exsum, level = spc_l3
+    stacked = np.concatenate([pyramids, pyramids], axis=0)
+    x = jnp.ones((4, 2), jnp.float32)
+    w = jnp.ones((1, 2, 2), jnp.float32)
+    with pytest.raises(AssertionError):
+        conv3d(octree, ph, level, stacked, exsum, x, w,
+               np.zeros((1, 3), np.int16))
+
+
+def test_conv3d_sparse_kernel_offsets(spc_l3):
+    """Non-contiguous kernel vectors (the reference allows arbitrary
+    integer offset lists, e.g. a cross/star stencil)."""
+    octree, ph, pyramids, exsum, level = spc_l3
+    rng = np.random.default_rng(8)
+    table, pts = _level_table(ph, pyramids, level)
+    kv = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1],
+                   [1, 1, 1]], np.int16)
+    x = rng.standard_normal((len(pts), 2)).astype(np.float32)
+    w = rng.standard_normal((kv.shape[0], 2, 3)).astype(np.float32)
+    out, _ = conv3d(octree, ph, level, pyramids, exsum, jnp.asarray(x),
+                    jnp.asarray(w), kv)
+    expected = _oracle_conv(table, pts, x, w, kv, jump=0)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_conv3d_weight_and_bias_grads(spc_l3):
+    """d(conv)/dW_k is the gathered-feature outer product summed over
+    outputs; d/db is the cotangent column sum — checked against a numpy
+    accumulation over the oracle incidence."""
+    octree, ph, pyramids, exsum, level = spc_l3
+    rng = np.random.default_rng(9)
+    table, pts = _level_table(ph, pyramids, level)
+    kv = _full_kernel(1)
+    x = rng.standard_normal((len(pts), 3)).astype(np.float32)
+    w = jnp.asarray(rng.standard_normal((kv.shape[0], 3, 2)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(2), jnp.float32)
+    cot = rng.standard_normal((len(pts), 2)).astype(np.float32)
+
+    def loss(ww, bb):
+        y, _ = conv3d(octree, ph, level, pyramids, exsum, jnp.asarray(x),
+                      ww, kv, bias=bb)
+        return jnp.vdot(y, jnp.asarray(cot))
+
+    gw, gb = jax.grad(loss, argnums=(0, 1))(w, b)
+    expected_w = np.zeros((kv.shape[0], 3, 2))
+    for qi, q in enumerate(pts):
+        for k, off in enumerate(kv):
+            p = tuple(q + off)
+            if p in table:
+                expected_w[k] += np.outer(x[table[p]], cot[qi])
+    np.testing.assert_allclose(np.asarray(gw), expected_w, rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb), cot.sum(0), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_conv_roundtrip_autoencoder_shapes(spc_l3):
+    """Down 2 levels with jump then back up — the encoder/decoder shape
+    contract used by the reference's SPC examples."""
+    octree, ph, pyramids, exsum, level = spc_l3
+    kv = _full_kernel(1)
+    key = jax.random.PRNGKey(5)
+    _, pts_l = _level_table(ph, pyramids, level)
+    x = jnp.ones((len(pts_l), 2), jnp.float32)
+    down = Conv3d(2, 4, kv, jump=1)
+    up = ConvTranspose3d(4, 2, kv, jump=1)
+    pd = down.init(key)
+    pu = up.init(key)
+    h, lvl1 = down(pd, octree, ph, level, pyramids, exsum, x)
+    h2, lvl2 = down(pd, octree, ph, lvl1, pyramids, exsum,
+                    jnp.concatenate([h[:, :2]], axis=1)[:, :2])
+    assert lvl2 == level - 2
+    back, lvl3 = up(pu, octree, ph, lvl2, pyramids, exsum, h2[:, :4])
+    back2, lvl4 = up(pu, octree, ph, lvl3, pyramids, exsum,
+                     jnp.tile(back, (1, 2)))
+    assert lvl4 == level and back2.shape == (len(pts_l), 2)
