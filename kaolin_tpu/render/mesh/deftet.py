@@ -86,6 +86,12 @@ def _select_topk(pixel_coords, render_ranges, face_vertices_z,
         in_range = ((depth > rranges[..., 0][:, :, None])
                     & (depth < rranges[..., 1][:, :, None]))
         score = jnp.where(in_bbox & inside & in_range, depth, -jnp.inf)
+        if score.shape[-1] < knum:
+            # fewer faces than the k-buffer depth: pad so top_k is legal;
+            # padded slots carry -inf and mask to -1 below
+            score = jnp.pad(score,
+                            ((0, 0), (0, 0), (0, knum - score.shape[-1])),
+                            constant_values=-jnp.inf)
         if jax.default_backend() == 'tpu' and not tie_exact:
             # exact VALUES at recall_target=1.0 and ~2x faster than
             # lax.top_k on this backend (PartialReduce lowering).

@@ -83,3 +83,16 @@ def test_error_type_carries_message():
     assert isinstance(err, Exception)
     with pytest.raises(NonHomogeneousMeshError, match="3 and 4"):
         raise err
+
+
+def test_empty_handler_no_features():
+    vertices, counts, _ = _mixed_mesh()
+    v, c = heterogeneous_mesh_handler_empty(vertices, counts)
+    assert v.shape == (0, 3) and c.shape == (0,)
+
+
+def test_naive_homogenize_single_pentagon():
+    vertices = jnp.zeros((5, 3))
+    _, new_counts, faces = heterogeneous_mesh_handler_naive_homogenize(
+        vertices, np.array([5]), np.arange(5))
+    np.testing.assert_array_equal(faces, [[0, 1, 2], [0, 2, 3], [0, 3, 4]])

@@ -171,3 +171,20 @@ def test_tensor_info_and_contained_helpers():
     assert not contained_allclose(nested_a, {'a': t})
     assert len(FLOAT_DTYPES) == 2 and len(INT_DTYPES) == 3
     assert ALL_DTYPES == FLOAT_DTYPES + INT_DTYPES
+
+
+def test_check_spc_octrees_multi_batch():
+    # two single-path octrees of different depth concatenated
+    a = np.array([0x01, 0x01], np.uint8)          # level 2
+    b = np.array([0x80, 0x01, 0x01], np.uint8)    # level 3
+    octrees = jnp.asarray(np.concatenate([a, b]))
+    lengths = np.array([2, 3])
+    assert check_spc_octrees(octrees, lengths, batch_size=2)
+    # mixed levels fail a uniform level check
+    assert not check_spc_octrees(octrees, lengths, level=2, throw=False)
+
+
+def test_tensor_info_int_dtype_stats():
+    t = jnp.asarray([1, 2, 3], jnp.int32)
+    s = tensor_info(t, name='ints', print_stats=True)
+    assert 'min=1' in s and 'max=3' in s and 'mean' not in s
