@@ -31,11 +31,14 @@ def main():
                         "through the PUBLIC API (unbatched_raytrace_fixed"
                         "(backend='banded')); 'banded_sort' = the older "
                         "sort-per-level kernel, called directly")
-    p.add_argument('--ray-mode', choices=('ray_fn', 'cols'),
+    p.add_argument('--ray-mode', choices=('ray_fn', 'arrays', 'cols'),
                    default='ray_fn',
                    help="banded kernels: 'ray_fn' = per-level XLA ray "
-                        "recompute (bit-exact vs the XLA path); 'cols' "
-                        "= in-kernel recompute (~1 ulp ray drift)")
+                        "recompute (bit-exact vs the XLA path); "
+                        "'arrays' = the reference-parity origin/"
+                        "direction-array entrypoint (carried-plane "
+                        "mode, also bit-exact); 'cols' = in-kernel "
+                        "recompute (~1 ulp ray drift; banded_sort only)")
     args = p.parse_args()
 
     import jax
@@ -82,8 +85,11 @@ def main():
 
     if args.backend == 'banded':
         # the PUBLIC API path: banded backend takes the RAW probe counts
-        # as its cap_schedule (it applies margin_dense internally)
-        bkw = {} if args.ray_mode == 'cols' else dict(ray_fn=ray_fn)
+        # as its cap_schedule (it applies margin_dense internally).
+        # 'arrays' (and legacy 'cols' here) = the reference-parity
+        # origin/direction signature -> carried-plane kernel mode
+        bkw = (dict(ray_fn=ray_fn) if args.ray_mode == 'ray_fn'
+               else {})
 
         # row probe: measure the kernel's actual per-level output rows
         # once, then re-trace with tight raw capacities (the default

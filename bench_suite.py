@@ -69,41 +69,116 @@ def bench_dibr_opt(iters):
 
 
 def bench_dibr_textured(iters):
-    """Config 2: 512^2 textured + Lambertian, batch 8, vertex grads."""
+    """Config 2 AT SPEC (BASELINE.json: "ShapeNet car batch=8, texture +
+    Lambertian, pose/camera gradients"): subdiv-5 icosphere — 20,480
+    faces, ShapeNet-car scale — batch 8 distinct poses, 512^2, bilinear
+    256^2 texture + normal-z Lambertian shading. Gradients flow to
+    vertices AND texture AND the camera (6-DoF ``CameraExtrinsics``
+    params — the reference's camera-optimization representation,
+    ``extrinsics_backends.py:205``)."""
+    import math
+
     import jax
     import jax.numpy as jnp
     import kaolin_tpu as kal
-    from __graft_entry__ import _scene
+    from kaolin_tpu.render.camera import CameraExtrinsics
+    from kaolin_tpu.ops.mesh import index_vertices_by_faces, face_normals
+    from __graft_entry__ import _icosphere
 
     B, H, W = 8, 512, 512
-    verts, faces, cam_rot, cam_trans, cam_proj = _scene(B, 3, jnp.float32)
+    verts_np, faces_np = _icosphere(5)            # 10,242 v / 20,480 f
+    faces = jnp.asarray(faces_np)
+    verts = jnp.tile(jnp.asarray(verts_np)[None], (B, 1, 1))
+    angles = np.linspace(0., 2 * np.pi, B, endpoint=False)
+    eye = jnp.asarray(np.stack([3 * np.sin(angles),
+                                0.5 * np.ones_like(angles),
+                                3 * np.cos(angles)], -1), jnp.float32)
+    ext0 = CameraExtrinsics.from_lookat(
+        eye, jnp.zeros((B, 3)), jnp.tile(jnp.asarray([[0., 1., 0.]]),
+                                         (B, 1)),
+        backend='matrix_6dof_rotation')
+    cam_params = ext0.parameters()                # (B, 9) 6-DoF + trans
+    cam_proj = kal.render.camera.generate_perspective_projection(
+        math.pi / 4.)
     rng = np.random.default_rng(0)
-    texture = jnp.asarray(rng.random((B, 3, 64, 64)), jnp.float32)  # NCHW
+    texture = jnp.asarray(rng.random((B, 3, 256, 256)), jnp.float32)
     nv = verts.shape[1]
     uvs = jnp.asarray(rng.random((B, nv, 2)), jnp.float32)  # [0, 1]
     face_uvs = uvs[:, faces]                      # (B, F, 3, 2)
     target = jnp.zeros((B, H, W, 3), jnp.float32)
 
-    def step(v):
-        def loss_fn(v):
-            fvc, fvi, fn = kal.render.mesh.prepare_vertices(
-                v, faces, cam_proj, camera_rot=cam_rot,
-                camera_trans=cam_trans)
-            ff = [jnp.broadcast_to(face_uvs, fvc.shape[:3] + (2,)),
+    def step(arg):
+        def loss_fn(v, tex, camp):
+            ext = CameraExtrinsics(camp, backend='matrix_6dof_rotation')
+            vc = ext.transform(v)
+            vi = kal.render.camera.perspective_camera(vc, cam_proj)
+            fvc = index_vertices_by_faces(vc, faces)
+            fvi = index_vertices_by_faces(vi, faces)
+            fn = face_normals(fvc, unit=True)
+            ff = [face_uvs,
                   jnp.broadcast_to(fn[:, :, None, 2:],
                                    fvc.shape[:3] + (1,))]
             (uv_map, nz_map), _ = kal.render.mesh.rasterize(
                 H, W, fvc[..., 2], fvi, ff, fn[..., 2] >= 0)
-            img = kal.render.mesh.texture_mapping(uv_map, texture,
+            img = kal.render.mesh.texture_mapping(uv_map, tex,
                                                   mode='bilinear')
             img = img * jnp.clip(nz_map, 0., 1.)   # Lambertian-ish shade
             return jnp.mean(jnp.abs(img - target))
-        _, g = jax.value_and_grad(loss_fn)(v)
-        return v - 1e-6 * g
+        _, g = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(*arg)
+        return (arg[0] - 1e-6 * g[0], arg[1] - 1e-6 * g[1],
+                arg[2] - 1e-6 * g[2])
 
-    ms = _time(step, verts, iters)
-    return {'metric': 'dibr_512_textured_b8', 'unit': 'ms/frame',
+    ms = _time(step, (verts, texture, cam_params), iters)
+    return {'metric': 'dibr_512_textured_b8_20k', 'unit': 'ms/frame',
+            'faces': int(faces_np.shape[0]),
             'value': round(ms / B, 3)}
+
+
+def bench_face_sweep(iters):
+    """Rasterize + soft-mask fwd+bwd face-count scaling: subdiv-3..6
+    icospheres (1.3k / 5k / 20k / 80k faces), 512^2, batch 1, vertex
+    grads through both kernels (the reference CUDA kernel's shared-mem
+    tiling exists exactly for this axis,
+    ``rasterization_cuda.cu:88-105``)."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+    import kaolin_tpu as kal
+    from kaolin_tpu.render.camera import (
+        generate_rotate_translate_matrices,
+        generate_perspective_projection)
+    from __graft_entry__ import _icosphere
+
+    H = W = 512
+    cam_proj = generate_perspective_projection(math.pi / 4.)
+    rows = {}
+    for subdiv in (3, 4, 5, 6):
+        verts_np, faces_np = _icosphere(subdiv)
+        faces = jnp.asarray(faces_np)
+        verts = jnp.asarray(verts_np)[None]
+        cam_rot, cam_trans = generate_rotate_translate_matrices(
+            jnp.asarray([[0., 0.5, 3.]]), jnp.zeros((1, 3)),
+            jnp.asarray([[0., 1., 0.]]))
+        target = jnp.zeros((1, H, W), jnp.float32)
+
+        def step(v, faces=faces, cam_rot=cam_rot, cam_trans=cam_trans,
+                 target=target):
+            def loss_fn(v):
+                fvc, fvi, fn = kal.render.mesh.prepare_vertices(
+                    v, faces, cam_proj, camera_rot=cam_rot,
+                    camera_trans=cam_trans)
+                ff = jnp.ones(fvc.shape[:3] + (1,))
+                feat, sm, _ = kal.render.mesh.dibr_rasterization(
+                    H, W, fvc[..., 2], fvi, ff, fn[..., 2])
+                return (jnp.mean(jnp.abs(feat))
+                        + kal.metrics.render.mask_iou(sm, target))
+            _, g = jax.value_and_grad(loss_fn)(v)
+            return v - 1e-6 * g
+
+        rows[int(faces_np.shape[0])] = round(_time(step, verts, iters), 3)
+    return {'metric': 'rasterize_softmask_512_face_sweep',
+            'unit': 'ms/frame', 'value': rows[20480], 'sweep_ms': rows}
 
 
 def bench_pointcloud(iters):
@@ -221,12 +296,13 @@ def main():
     # (config 1 reads 6.4 ms/step at 10 iters vs 2.2 ms at 32)
     p.add_argument('--iters', type=int, default=32)
     p.add_argument('--only', type=str, default=None,
-                   help='comma-separated subset: opt,textured,pcl,'
-                        'deftet,raytrace')
+                   help='comma-separated subset: opt,textured,facesweep,'
+                        'pcl,deftet,raytrace')
     args = p.parse_args()
     benches = {
         'opt': bench_dibr_opt,
         'textured': bench_dibr_textured,
+        'facesweep': bench_face_sweep,
         'pcl': bench_pointcloud,
         'deftet': bench_deftet,
         'raytrace': bench_raytrace,

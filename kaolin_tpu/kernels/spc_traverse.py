@@ -676,7 +676,7 @@ def _cc_kernel_body(l, last, with_exit, ray_fn_cols, ray_refs, cap_rows,
                     pidx_ref, ridx_ref, khi_ref, klo_ref,
                     tbl_a, tbl_b, tbl_c,
                     out_refs, meta_ref, stage_refs, cursor_ref, sems,
-                    rstep=RSTEP):
+                    rstep=RSTEP, emit_rays=False):
     i = pl.program_id(0)
     f32 = jnp.float32
     dt = f32
@@ -773,6 +773,14 @@ def _cc_kernel_body(l, last, with_exit, ray_fn_cols, ray_refs, cap_rows,
             else:
                 fields['khi'] = khi
                 fields['klo'] = klo * 8 + rank
+            if emit_rays and not last:
+                # carried-rays mode: each surviving child inherits its
+                # parent's ray planes, compacted losslessly alongside
+                # the rest of the state (a one-hot f32 matmul moves any
+                # native f32 bit pattern exactly: one product is v * 1,
+                # the rest are v * 0)
+                fields['ox'], fields['oy'], fields['oz'] = ox, oy, oz
+                fields['dx'], fields['dy'], fields['dz'] = dx, dy, dz
             if last:
                 fields['ent'] = entry
                 if with_exit:
@@ -863,7 +871,7 @@ def _cc_kernel_body(l, last, with_exit, ray_fn_cols, ray_refs, cap_rows,
                     precision=jax.lax.Precision.HIGHEST)
 
         for nm, stage in zip(names, stage_refs):
-            if nm in ('ent', 'ext'):
+            if nm in ('ent', 'ext', 'ox', 'oy', 'oz', 'dx', 'dy', 'dz'):
                 stage[:, :] = outs[nm]
             else:
                 stage[:, :] = outs[nm].astype(jnp.int32)
@@ -885,14 +893,16 @@ def _cc_kernel_body(l, last, with_exit, ray_fn_cols, ray_refs, cap_rows,
 
 
 def _cc_level_call(l, steps, last, with_exit, ray_fn_cols, npad, cap_rows,
-                   interpret=False, rstep=RSTEP):
+                   interpret=False, rstep=RSTEP, emit_rays=False):
     """pallas_call for one cursor-compaction traversal level."""
     xla_rays = ray_fn_cols is None
     i32 = jnp.int32
     f32 = jnp.float32
-    nfields = 4 + (1 + int(with_exit) if last else 0)
+    n_ray = 6 if (emit_rays and not last) else 0
+    nfields = 4 + n_ray + (1 + int(with_exit) if last else 0)
     buf_rows = cap_rows + rstep * 8
     out_shapes = [jax.ShapeDtypeStruct((buf_rows, LANES), i32)] * 4
+    out_shapes += [jax.ShapeDtypeStruct((buf_rows, LANES), f32)] * n_ray
     if last:
         out_shapes.append(jax.ShapeDtypeStruct((buf_rows, LANES), f32))
         if with_exit:
@@ -920,7 +930,7 @@ def _cc_level_call(l, steps, last, with_exit, ray_fn_cols, npad, cap_rows,
                         pidx_ref, ridx_ref, khi_ref, klo_ref,
                         tbl_a, tbl_b, tbl_c,
                         out_refs, meta_ref, stage_refs, cursor_ref, sems,
-                        rstep)
+                        rstep, emit_rays)
 
     frontier_spec = pl.BlockSpec((rstep, LANES), lambda i, *_: (i, 0),
                                  memory_space=pltpu.VMEM)
@@ -937,7 +947,7 @@ def _cc_level_call(l, steps, last, with_exit, ray_fn_cols, npad, cap_rows,
 
     stage_types = ([pltpu.VMEM((rstep * 8, LANES), i32)] * 4
                    + ([pltpu.VMEM((rstep * 8, LANES), f32)]
-                      * (nfields - 4)))
+                      * (nfields - 4)))  # ray/depth stages are all f32
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(steps,),
@@ -963,13 +973,14 @@ def _cc_level_call(l, steps, last, with_exit, ray_fn_cols, npad, cap_rows,
     'num_rays', 'level', 'schedule', 'with_exit', 'ray_fn_cols',
     'ray_fn', 'interpret', 'return_rows', 'level_offsets',
     'margin_dense', 'raw_factor', 'raw_rows', 'max_sortfree_chain',
-    'rstep'))
+    'rstep', 'carry_rays'))
 def traverse_banded_cc(tbl_t, num_rays, level, schedule, ray_fn_cols=None,
                        ray_fn=None, origin=None, direction=None,
                        with_exit=False, interpret=False,
                        return_rows=False, level_offsets=None,
                        margin_dense=1.2, raw_factor=6, raw_rows=None,
-                       max_sortfree_chain=3, rstep=RSTEP):
+                       max_sortfree_chain=3, rstep=RSTEP,
+                       carry_rays=None):
     """Full SPC traversal with in-kernel cursor compaction.
 
     Hybrid sort policy: in-kernel cursor compaction removes the 8x
@@ -992,12 +1003,26 @@ def traverse_banded_cc(tbl_t, num_rays, level, schedule, ray_fn_cols=None,
     measured sort-free-chain density floor ~0.18 needs the 6x default —
     pass probe-measured ``raw_rows`` to run tight instead).
 
+    ``carry_rays``: None (auto — origin/direction arrays carry their 6
+    o/d planes THROUGH the kernel as compacted frontier fields, ray_fn
+    streams recomputed planes), True (force carrying even for ray_fn),
+    or False (legacy array mode: per-level XLA row gathers by compacted
+    ray index — ~8.6 ns/el x 9 planes x frontier size per level, the
+    round-4 array-mode tax; kept for A/B measurement). In carry mode
+    ``1/d`` is still computed per level by XLA from the carried ``d``
+    planes (elementwise — bit-identical to the XLA path's per-level
+    ``inv``), so slab inputs and therefore nugget sets, order, and
+    depths remain bit-exact vs ``backend='xla'``.
+
     Returns (ridx, pidx, depth (N, 1|2), count, overflow[, row_totals]).
     """
     assert level >= 1 and level <= 10, level
     assert num_rays < (1 << 24), num_rays
     assert (ray_fn_cols is not None) + (ray_fn is not None) + \
         (origin is not None) == 1, 'give exactly one ray source'
+    if carry_rays is None:
+        carry_rays = origin is not None
+    carry = carry_rays and ray_fn_cols is None
     npad = tbl_t.shape[1]
     nblk = npad // W_BLK
 
@@ -1053,6 +1078,30 @@ def traverse_banded_cc(tbl_t, num_rays, level, schedule, ray_fn_cols=None,
     khi = jnp.zeros((r0, LANES), jnp.int32)
     klo = jnp.zeros((r0, LANES), jnp.int32)
 
+    rays_c = None
+    if carry:
+        # level-0 plane init is a contiguous reshape (ridx is the
+        # identity here) — no gather, ever again: the planes ride the
+        # in-kernel compaction from here on. Dead-lane d pads to 1.0 so
+        # the per-level XLA reciprocal stays finite.
+        if origin is not None:
+            o_rows = origin.astype(jnp.float32)
+            d_rows = direction.astype(jnp.float32)
+        else:
+            o_rows, d_rows = ray_fn(jnp.arange(num_rays, dtype=jnp.int32))
+            o_rows = o_rows.astype(jnp.float32)
+            d_rows = d_rows.astype(jnp.float32)
+        padn = r0 * LANES - num_rays
+
+        def plane(col, fill):
+            if padn:
+                col = jnp.concatenate(
+                    [col, jnp.full((padn,), fill, jnp.float32)])
+            return col.reshape(r0, LANES)
+
+        rays_c = ([plane(o_rows[:, a], 0.) for a in range(3)]
+                  + [plane(d_rows[:, a], 1.) for a in range(3)])
+
     overflow = jnp.int32(0)
     row_totals = []
     for l in range(level):
@@ -1075,20 +1124,30 @@ def traverse_banded_cc(tbl_t, num_rays, level, schedule, ray_fn_cols=None,
         cap_rows = max(rstep, min(-(-cap_rows // rstep) * rstep,
                                   rows_in * 8))
         call = _cc_level_call(l, steps, last, with_exit, ray_fn_cols,
-                              npad, cap_rows, interpret, rstep)
-        if ray_fn_cols is None:
+                              npad, cap_rows, interpret, rstep,
+                              emit_rays=carry)
+        if carry:
+            iv = [1.0 / rays_c[3 + a] for a in range(3)]
+            outs = call(active, wblk, cbase, cnum, pidx, ridx, khi, klo,
+                        *rays_c, *iv, tbl_t, tbl_t, tbl_t)
+        elif ray_fn_cols is None:
             outs = call(active, wblk, cbase, cnum, pidx, ridx, khi, klo,
                         *ray_planes(ridx), tbl_t, tbl_t, tbl_t)
         else:
             outs = call(active, wblk, cbase, cnum, pidx, ridx, khi, klo,
                         tbl_t, tbl_t, tbl_t)
         o_pidx, o_ridx, o_khi, o_klo = outs[0], outs[1], outs[2], outs[3]
+        k = 4
+        o_rays = None
+        if carry and not last:
+            o_rays = outs[4:10]
+            k = 10
         if last:
-            o_ent = outs[4]
-            o_ext = outs[5] if with_exit else None
-            meta = outs[5 + int(with_exit)]
+            o_ent = outs[k]
+            o_ext = outs[k + 1] if with_exit else None
+            meta = outs[k + 1 + int(with_exit)]
         else:
-            meta = outs[4]
+            meta = outs[k]
         total = meta[0, 0]
         cap_excess = jnp.maximum(total - cap_rows, 0)
         overflow += cap_excess
@@ -1102,6 +1161,9 @@ def traverse_banded_cc(tbl_t, num_rays, level, schedule, ray_fn_cols=None,
         ridx = jnp.where(rmask, o_ridx[:keep_rows], 0)
         khi = jnp.where(rmask, o_khi[:keep_rows], 0)
         klo = jnp.where(rmask, o_klo[:keep_rows], 0)
+        if carry and not last:
+            rays_c = [jnp.where(rmask, o_rays[a][:keep_rows],
+                                0. if a < 3 else 1.) for a in range(6)]
         if last:
             ent = jnp.where(rmask, o_ent[:keep_rows], 0.)
             if with_exit:
@@ -1112,10 +1174,13 @@ def traverse_banded_cc(tbl_t, num_rays, level, schedule, ray_fn_cols=None,
             # (window overflow would silently drop subtrees)
             skey = jnp.where(pidx < 0, _INT_MAX, pidx).reshape(-1)
             kpack = (khi << 15) | klo           # both < 2^15: one operand
-            so = jax.lax.sort(
-                (skey, pidx.reshape(-1), ridx.reshape(-1),
-                 kpack.reshape(-1)),
-                num_keys=1, is_stable=False)
+            ops = (skey, pidx.reshape(-1), ridx.reshape(-1),
+                   kpack.reshape(-1))
+            if carry:
+                # sort cost is operand-count independent (BASELINE.md):
+                # the 6 carried planes ride the same sort for free
+                ops += tuple(p.reshape(-1) for p in rays_c)
+            so = jax.lax.sort(ops, num_keys=1, is_stable=False)
             dn = dense_rows_for(l) if schedule is not None else keep_rows
             kept = jnp.sum((so[0] != _INT_MAX).astype(jnp.int32))
             sort_excess = jnp.maximum(kept - dn * LANES, 0)
@@ -1127,6 +1192,13 @@ def traverse_banded_cc(tbl_t, num_rays, level, schedule, ray_fn_cols=None,
             kp = so[3][:n_el].reshape(dn, LANES)
             khi = kp >> 15
             klo = kp & 0x7FFF
+            if carry:
+                rays_c = [so[4 + a][:n_el].reshape(dn, LANES)
+                          for a in range(6)]
+                # dead tail entries carry arbitrary sorted-off values;
+                # keep d finite for the next level's reciprocal
+                dead = pidx < 0
+                rays_c[3:] = [jnp.where(dead, 1., p) for p in rays_c[3:]]
 
     # ---- final: restore the reference's exact output order -------------
     valid = pidx >= 0

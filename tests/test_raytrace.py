@@ -547,7 +547,9 @@ def test_traverse_banded_cc_exact():
                                    num_rays * 64, backend='xla')
     for kw in (dict(ray_fn=ray_fn),
                dict(ray_fn=ray_fn, level_offsets=None),
-               dict(origin=o, direction=d)):
+               dict(origin=o, direction=d),                 # carried planes
+               dict(origin=o, direction=d, carry_rays=False),  # gathers
+               dict(ray_fn=ray_fn, carry_rays=True)):
         out = traverse_banded_cc(tbl, num_rays, level, sched, rstep=8,
                                  interpret=True, raw_factor=6, **kw)
         n, ov = int(out[3]), int(out[4])
