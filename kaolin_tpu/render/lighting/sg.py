@@ -101,8 +101,9 @@ def cosine_lobe_sg(direction):
         >>> amp, dirn, sharp = cosine_lobe_sg(jnp.asarray([[0., 0., 1.]]))
         >>> amp.shape, dirn.shape, sharp.shape
         ((1, 3), (1, 3), (1,))
+        >>> import math
         >>> integ = approximate_sg_integral(amp, sharp)
-        >>> bool(jnp.allclose(integ, 2 * 3.14159265 * 1.17 / 2.133,
+        >>> bool(jnp.allclose(integ, 2 * math.pi * 1.17 / 2.133,
         ...                   rtol=1e-5))
         True
     """

@@ -509,9 +509,23 @@ def plan_raytrace(octree, point_hierarchy, exsum, origin, direction,
     return sched
 
 
+# eager-wrapper probe-schedule cache: scene digest -> probe counts.
+# A stale schedule is SAFE (banded overflow is detected and falls back
+# to the XLA path, evicting the entry), so keying on the octree bytes +
+# trace shape (not the ray values) is sound.
+_EAGER_SCHED_CACHE = {}
+_EAGER_SCHED_CACHE_MAX = 16
+
+
+def _eager_sched_key(octree, level, num_rays, with_exit):
+    import hashlib
+    digest = hashlib.sha1(np.asarray(octree).tobytes()).hexdigest()
+    return (digest, int(level), int(num_rays), bool(with_exit))
+
+
 def unbatched_raytrace(octree, point_hierarchy, pyramid, exsum, origin,
                        direction, level, return_depth=True, with_exit=False,
-                       max_nuggets=None, backend='xla'):
+                       max_nuggets=None, backend='auto'):
     """Ray-traces an unbatched SPC, returning dynamically-sized results.
 
     Behavior matches ``kaolin.render.spc.unbatched_raytrace``
@@ -526,36 +540,56 @@ def unbatched_raytrace(octree, point_hierarchy, pyramid, exsum, origin,
         return_depth / with_exit: include entry (and exit) depths.
         max_nuggets: static buffer capacity (default: 64 * num_rays,
             doubled on overflow automatically).
-        backend: 'xla' (default — one-shot tracing), or 'banded' (the
-            Pallas cursor-compaction kernel: probes once with the XLA
-            path to plan buffers, so it only pays off when tracing the
-            same scene repeatedly; overflow falls back to 'xla').
+        backend: 'auto' (default — the banded cursor-compaction kernel
+            when the measured gate favors it: TPU, >= 4096 rays; else
+            the XLA path), 'xla' (one-shot tracing), or 'banded'
+            (force the Pallas kernel). The banded path needs a probe
+            trace to plan buffers; probe schedules are cached per
+            (octree bytes, level, num_rays) so repeated eager calls on
+            the same scene only probe once. Banded overflow (stale or
+            undersized schedule) transparently falls back to 'xla' and
+            evicts the cached schedule.
 
     Returns:
         (ray_index (N,), point_index (N,)[, depth (N, 1 or 2)]).
     """
+    assert backend in ('auto', 'xla', 'banded'), backend
     num_rays = origin.shape[0]
     cap = int(max_nuggets) if max_nuggets is not None else 64 * num_rays
     offs = level_offsets_from_octree(octree)
     sched = None
-    if backend == 'banded':
-        _, sched = plan_raytrace(octree, point_hierarchy, exsum, origin,
-                                 direction, level, cap=cap,
-                                 level_offsets=offs, return_counts=True)
+    skey = None
+    want_banded = backend == 'banded' or (
+        backend == 'auto' and 1 <= int(level) <= 10 and num_rays >= 4096
+        and jax.default_backend() == 'tpu')
+    if want_banded:
+        skey = _eager_sched_key(octree, level, num_rays, with_exit)
+        sched = _EAGER_SCHED_CACHE.get(skey)
+        if sched is None:
+            _, sched = plan_raytrace(octree, point_hierarchy, exsum,
+                                     origin, direction, level, cap=cap,
+                                     level_offsets=offs,
+                                     return_counts=True)
+            if len(_EAGER_SCHED_CACHE) >= _EAGER_SCHED_CACHE_MAX:
+                _EAGER_SCHED_CACHE.pop(next(iter(_EAGER_SCHED_CACHE)))
+            _EAGER_SCHED_CACHE[skey] = sched
     while True:
         ridx, pidx, depth, count = unbatched_raytrace_fixed(
             octree, point_hierarchy, exsum, origin, direction,
             int(level), cap, bool(with_exit), level_offsets=offs,
             cap_schedule=sched,
-            backend='banded' if backend == 'banded' else 'xla')
+            backend='banded' if want_banded else 'xla')
         n = int(count)
         if n <= cap:
             break
-        if backend == 'banded':
+        if want_banded:
             # banded overflow (undersized schedule or window): the XLA
-            # path has no such failure mode — fall back
-            backend = 'xla'
+            # path has no such failure mode — fall back and evict the
+            # schedule so the next call re-probes
+            want_banded = False
             sched = None
+            if skey is not None:
+                _EAGER_SCHED_CACHE.pop(skey, None)
             continue
         cap = max(2 * cap, n)
     ridx = ridx[:n]

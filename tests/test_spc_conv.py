@@ -299,9 +299,12 @@ def test_conv_roundtrip_autoencoder_shapes(spc_l3):
     up = ConvTranspose3d(4, 2, kv, jump=1)
     pd = down.init(key)
     pu = up.init(key)
+    # shape-plumbing only (values are checked by the oracle tests
+    # above): the SAME Conv3d(2,4)/ConvTranspose3d(4,2) params are
+    # reused for both steps, so channels are sliced (h[:, :2]) / tiled
+    # (back -> 4) to match each layer's expected fan-in
     h, lvl1 = down(pd, octree, ph, level, pyramids, exsum, x)
-    h2, lvl2 = down(pd, octree, ph, lvl1, pyramids, exsum,
-                    jnp.concatenate([h[:, :2]], axis=1)[:, :2])
+    h2, lvl2 = down(pd, octree, ph, lvl1, pyramids, exsum, h[:, :2])
     assert lvl2 == level - 2
     back, lvl3 = up(pu, octree, ph, lvl2, pyramids, exsum, h2[:, :4])
     back2, lvl4 = up(pu, octree, ph, lvl3, pyramids, exsum,

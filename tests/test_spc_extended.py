@@ -62,14 +62,14 @@ def test_query_misses_give_minus_one(sphere):
 def test_spc_make_dense_and_from_features():
     level = 2
     spc = Spc.make_dense(level)
-    assert int(spc.num_points(level)) == (2 ** level) ** 3
+    assert int(spc.num_points(level)[0]) == (2 ** level) ** 3
     # from_features: occupancy mask selects cells
     grid = np.zeros((1, 1, 4, 4, 4), np.float32)
     grid[0, 0, 0, 0, 0] = 1.
     grid[0, 0, 3, 2, 1] = 2.
     masks = jnp.asarray(grid[:, 0] != 0)
     spc2 = Spc.from_features(jnp.asarray(grid), masks)
-    assert int(spc2.num_points(2)) == 2
+    assert int(spc2.num_points(2)[0]) == 2
     vals = sorted(float(v) for v in np.asarray(spc2.features).reshape(-1))
     assert vals == [1., 2.]
 
