@@ -251,10 +251,10 @@ def bench_raytrace(iters):
     lengths = np.array([len(np.asarray(octree))])
     _, pyramids, exsum = scan_octrees(octree, lengths)
     ph = generate_points(octree, pyramids, exsum)
-    # ray_fn mode: the origin/direction ARRAY mode re-gathers 6 ray
-    # planes per level by compacted ray index (~90 ms of row gathers at
-    # this scale under the banded backend) — primary rays recompute
-    # from the closure instead
+    # ray_fn mode: primary rays recompute from the closure — the
+    # fastest banded mode (the ARRAY mode's carried-plane kernel is
+    # ~1.7x slower: 6 extra compacted fields per level; see BASELINE.md
+    # round 5)
     ray_fn = primary_rays_fn(256, 256, jnp.asarray([0., 0., 2.5]),
                              jnp.zeros(3), jnp.asarray([0., 1., 0.]),
                              np.pi / 3)

@@ -40,6 +40,51 @@ __all__ = ['rasterize_select_pallas', 'rasterize_interp_pallas']
 FACE_CHUNK = 8
 TILE_H = 8
 CT_W = 128      # column-tile width (one vreg of lanes)
+# faces per VMEM-resident table block. Per-face constants are PACKED
+# into one (B, F, 128) f32 table (a (F, k) array tile-pads its minor
+# dim to 128 lanes anyway — five separate arrays cost 5x the VMEM for
+# the same payload, which OOM'd scoped vmem at 20k faces). Face counts
+# beyond F_SEG add a third grid dimension: the table is blocked over
+# segments (innermost, so each pixel band's output block is revisited
+# consecutively and the z-buffer accumulates across segments in VMEM).
+F_SEG = 8192
+
+
+def _face_seg(F, dtype=jnp.float32):
+    """(padded face count, faces per segment, num segments). The table
+    keeps the input dtype (f64 runs through interpret mode in tests),
+    so 8-byte dtypes halve the per-segment face budget."""
+    f_seg = F_SEG if jnp.dtype(dtype).itemsize <= 4 else F_SEG // 2
+    fp = F + ((-F) % FACE_CHUNK)
+    if fp <= f_seg:
+        return fp, fp, 1
+    fp = F + ((-F) % f_seg)
+    return fp, f_seg, fp // f_seg
+
+
+def _pack_face_table(parts, f_pad):
+    """Packs per-face column arrays (B, F, k_i) into one (B, f_pad, 128)
+    f32 table, lane offsets = running sum of k_i. int32 parts must be
+    pre-cast to f32 by the caller (values < 2**24 stay exact)."""
+    B = parts[0].shape[0]
+    F = parts[0].shape[1]
+    tbl = jnp.concatenate(parts, axis=-1)
+    C = tbl.shape[-1]
+    assert C <= 128, C
+    tbl = jnp.pad(tbl, ((0, 0), (0, f_pad - F), (0, 128 - C)))
+    return tbl
+
+
+def _segment_ranges(start_c, end_c, S, c_seg):
+    """Global per-band chunk ranges -> per-(band, segment) block-local
+    ranges, flattened to the 2D scalar-prefetch layout (B, bands * S)."""
+    s_off = jnp.arange(S, dtype=jnp.int32) * c_seg
+    ls = jnp.clip(start_c[..., None] - s_off, 0, c_seg)
+    le = jnp.clip(end_c[..., None] - s_off, 0, c_seg)
+    le = jnp.maximum(le, ls)
+    B, nb = start_c.shape
+    return (ls.reshape(B, nb * S).astype(jnp.int32),
+            le.reshape(B, nb * S).astype(jnp.int32))
 
 
 def _band_face_ranges(bboxes_sorted, height, multiplier, row_start,
@@ -178,34 +223,39 @@ def _tile_face_ranges(bboxes, height, width, multiplier, row_start,
     return order, meta_s, start_all, end_all
 
 
-def _rasterize_kernel(start_ref, end_ref, roff_ref, z_ref, img_ref,
-                      bbox_ref, ids_ref, zbuf_ref, idx_ref, *, height,
-                      width, total_height, num_faces, multiplier, eps):
+def _rasterize_kernel(start_ref, end_ref, roff_ref, tbl_ref,
+                      zbuf_ref, idx_ref, *, height,
+                      width, total_height, num_faces, num_segs, f_seg,
+                      multiplier, eps):
+    """Face table lanes: [0:4] bbox, [4:10] img verts, [10:13] z,
+    [13] original id (f32, exact below 2**24)."""
     b = pl.program_id(0)
     r = pl.program_id(1)
+    s = pl.program_id(2)
 
     row = (roff_ref[0] + r * TILE_H
            + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, width), 0))
     col = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, width), 1)
-    dtype = z_ref.dtype
+    dtype = zbuf_ref.dtype
     # pixel centers, y-up image space, pre-scaled by multiplier
     # (rasterization_cuda.cu:85-86)
     H = total_height
     x0 = (multiplier / width) * (2 * col + 1 - width).astype(dtype)
     y0 = (multiplier / H) * (H - 2 * row - 1).astype(dtype)
 
-    zbuf_ref[...] = jnp.full((1, TILE_H, width), -jnp.inf, dtype=dtype)
-    idx_ref[...] = jnp.full((1, TILE_H, width), 0x7fffffff, dtype=jnp.int32)
+    @pl.when(s == 0)
+    def _():
+        zbuf_ref[...] = jnp.full((1, TILE_H, width), -jnp.inf, dtype=dtype)
+        idx_ref[...] = jnp.full((1, TILE_H, width), 0x7fffffff,
+                                dtype=jnp.int32)
 
     def chunk_body(c, _):
         f0 = c * FACE_CHUNK
-        bbox = bbox_ref[0, pl.ds(f0, FACE_CHUNK), :]          # (8, 4)
-        img = img_ref[0, pl.ds(f0, FACE_CHUNK), :]            # (8, 6)
-        fz = z_ref[0, pl.ds(f0, FACE_CHUNK), :]               # (8, 3)
-        orig_ids = ids_ref[0, pl.ds(f0, FACE_CHUNK), 0]       # (8,)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (FACE_CHUNK, 1, 1), 0)
-        lane_valid = (f0 + lane) < num_faces
-        face_ids = orig_ids[:, None, None]
+        face = tbl_ref[0, pl.ds(f0, FACE_CHUNK), :]           # (8, 128)
+        bbox = face[:, 0:4]
+        img = face[:, 4:10]
+        fz = face[:, 10:13].astype(dtype)
+        face_ids = face[:, 13].astype(jnp.int32)[:, None, None]
 
         px = x0[None, :, :]
         py = y0[None, :, :]
@@ -233,7 +283,7 @@ def _rasterize_kernel(start_ref, end_ref, roff_ref, z_ref, img_ref,
         z0 = (w0 * fz[:, 0][:, None, None]
               + w1 * fz[:, 1][:, None, None]
               + w2 * fz[:, 2][:, None, None])
-        z0 = jnp.where(hit & inside & lane_valid, z0, -jnp.inf)
+        z0 = jnp.where(hit & inside, z0, -jnp.inf)
 
         # first-max over the chunk: max z, ties -> lowest ORIGINAL id
         zmax = jnp.max(z0, axis=0)                            # (th, w)
@@ -250,27 +300,32 @@ def _rasterize_kernel(start_ref, end_ref, roff_ref, z_ref, img_ref,
         idx_ref[0, :, :] = jnp.where(take, widx, cur_i)
         return 0
 
-    jax.lax.fori_loop(start_ref[b, r], end_ref[b, r], chunk_body, 0)
+    jax.lax.fori_loop(start_ref[b, r * num_segs + s],
+                      end_ref[b, r * num_segs + s], chunk_body, 0)
 
-    # uncovered sentinel 0x7fffffff -> -1
-    final = idx_ref[0, :, :]
-    idx_ref[0, :, :] = jnp.where(final == 0x7fffffff, -1, final)
+    # uncovered sentinel 0x7fffffff -> -1 (after the LAST segment)
+    @pl.when(s == num_segs - 1)
+    def _():
+        final = idx_ref[0, :, :]
+        idx_ref[0, :, :] = jnp.where(final == 0x7fffffff, -1, final)
 
 
-def _rasterize_interp_kernel(start_ref, end_ref, roff_ref, z_ref, img_ref,
-                             bbox_ref, ids_ref, feat_ref, idx_ref, *out_refs,
+def _rasterize_interp_kernel(start_ref, end_ref, roff_ref, tbl_ref,
+                             idx_ref, *out_refs,
                              height, width, total_height, num_faces,
-                             multiplier, eps, feat_dim):
+                             num_segs, f_seg, multiplier, eps, feat_dim):
     """Fused select + barycentric weights + feature interpolation.
 
     Same z-buffer loop as :func:`_rasterize_kernel`, but the winning
     face's barycentric weights and interpolated features are selected
     in-register at chunk time, so no per-pixel face gathers are needed
     outside the kernel (the XLA epilogue's two row-gathers were ~80% of
-    the forward cost at 512^2).
+    the forward cost at 512^2). Face table lanes: [0:4] bbox, [4:10]
+    img verts, [10:13] z, [13] original id, [14:14+3D] features.
     """
     b = pl.program_id(0)
     r = pl.program_id(1)
+    s = pl.program_id(2)
     w_refs = out_refs[:3]
     f_refs = out_refs[3:3 + feat_dim]
     zbuf_ref = out_refs[3 + feat_dim]
@@ -278,28 +333,29 @@ def _rasterize_interp_kernel(start_ref, end_ref, roff_ref, z_ref, img_ref,
     row = (roff_ref[0] + r * TILE_H
            + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, width), 0))
     col = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, width), 1)
-    dtype = z_ref.dtype
+    dtype = zbuf_ref.dtype
     H = total_height
     x0 = (multiplier / width) * (2 * col + 1 - width).astype(dtype)
     y0 = (multiplier / H) * (H - 2 * row - 1).astype(dtype)
 
-    zbuf_ref[...] = jnp.full((1, TILE_H, width), -jnp.inf, dtype=dtype)
-    idx_ref[...] = jnp.full((1, TILE_H, width), 0x7fffffff, dtype=jnp.int32)
-    for ref in w_refs:
-        ref[...] = jnp.zeros((1, TILE_H, width), dtype=dtype)
-    for ref in f_refs:
-        ref[...] = jnp.zeros((1, TILE_H, width), dtype=dtype)
+    @pl.when(s == 0)
+    def _():
+        zbuf_ref[...] = jnp.full((1, TILE_H, width), -jnp.inf, dtype=dtype)
+        idx_ref[...] = jnp.full((1, TILE_H, width), 0x7fffffff,
+                                dtype=jnp.int32)
+        for ref in w_refs:
+            ref[...] = jnp.zeros((1, TILE_H, width), dtype=dtype)
+        for ref in f_refs:
+            ref[...] = jnp.zeros((1, TILE_H, width), dtype=dtype)
 
     def chunk_body(c, _):
         f0 = c * FACE_CHUNK
-        bbox = bbox_ref[0, pl.ds(f0, FACE_CHUNK), :]          # (8, 4)
-        img = img_ref[0, pl.ds(f0, FACE_CHUNK), :]            # (8, 6)
-        fz = z_ref[0, pl.ds(f0, FACE_CHUNK), :]               # (8, 3)
-        feat = feat_ref[0, pl.ds(f0, FACE_CHUNK), :]          # (8, 3*D)
-        orig_ids = ids_ref[0, pl.ds(f0, FACE_CHUNK), 0]       # (8,)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (FACE_CHUNK, 1, 1), 0)
-        lane_valid = (f0 + lane) < num_faces
-        face_ids = orig_ids[:, None, None]
+        face = tbl_ref[0, pl.ds(f0, FACE_CHUNK), :]           # (8, 128)
+        bbox = face[:, 0:4]
+        img = face[:, 4:10]
+        fz = face[:, 10:13]
+        feat = face[:, 14:14 + 3 * feat_dim]                  # (8, 3*D)
+        face_ids = face[:, 13].astype(jnp.int32)[:, None, None]
 
         px = x0[None, :, :]
         py = y0[None, :, :]
@@ -327,7 +383,7 @@ def _rasterize_interp_kernel(start_ref, end_ref, roff_ref, z_ref, img_ref,
         z0 = (w0 * fz[:, 0][:, None, None]
               + w1 * fz[:, 1][:, None, None]
               + w2 * fz[:, 2][:, None, None])
-        z0 = jnp.where(hit & inside & lane_valid, z0, -jnp.inf)
+        z0 = jnp.where(hit & inside, z0, -jnp.inf)
 
         zmax = jnp.max(z0, axis=0)                            # (th, w)
         is_max = (z0 == zmax[None, :, :]) & (zmax[None, :, :] > -jnp.inf)
@@ -357,10 +413,13 @@ def _rasterize_interp_kernel(start_ref, end_ref, roff_ref, z_ref, img_ref,
                                            f_refs[d][0, :, :])
         return 0
 
-    jax.lax.fori_loop(start_ref[b, r], end_ref[b, r], chunk_body, 0)
+    jax.lax.fori_loop(start_ref[b, r * num_segs + s],
+                      end_ref[b, r * num_segs + s], chunk_body, 0)
 
-    final = idx_ref[0, :, :]
-    idx_ref[0, :, :] = jnp.where(final == 0x7fffffff, -1, final)
+    @pl.when(s == num_segs - 1)
+    def _():
+        final = idx_ref[0, :, :]
+        idx_ref[0, :, :] = jnp.where(final == 0x7fffffff, -1, final)
 
 
 @functools.partial(jax.jit, static_argnames=('height', 'width',
@@ -404,6 +463,7 @@ def rasterize_interp_pallas(face_vertices_z, face_vertices_image_flat,
                                      ((0, 0), (0, pad), (0, 0)))
         F = F + pad
 
+    assert 14 + D3 <= 128, f'feat_dim {D} too wide for the face table'
     order = jnp.argsort(-face_bboxes[..., 3], axis=1).astype(jnp.int32)
     fz = jnp.take_along_axis(face_vertices_z, order[..., None], axis=1)
     img = jnp.take_along_axis(face_vertices_image_flat, order[..., None],
@@ -413,32 +473,31 @@ def rasterize_interp_pallas(face_vertices_z, face_vertices_image_flat,
 
     start_c, end_c = _band_face_ranges(bb, height, float(multiplier),
                                        row_start, total_height)
+    dtype = face_vertices_z.dtype
+    fp, f_seg, S = _face_seg(F, dtype)
+    start_s, end_s = _segment_ranges(start_c, end_c, S,
+                                     f_seg // FACE_CHUNK)
+    tbl = _pack_face_table(
+        [bb.astype(dtype), img.astype(dtype), fz,
+         order[..., None].astype(dtype), ff.astype(dtype)], fp)
 
-    grid = (B, height // TILE_H)
+    grid = (B, height // TILE_H, S)
     kernel = functools.partial(
         _rasterize_interp_kernel, height=height, width=width,
-        total_height=total_height, num_faces=F,
+        total_height=total_height, num_faces=F, num_segs=S, f_seg=f_seg,
         multiplier=float(multiplier), eps=float(eps), feat_dim=D)
-    img_block = pl.BlockSpec((1, TILE_H, width), lambda b, r, *_: (b, r, 0),
+    img_block = pl.BlockSpec((1, TILE_H, width),
+                             lambda b, r, s, *_: (b, r, 0),
                              memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, F, 3), lambda b, r, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, F, 6), lambda b, r, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, F, 4), lambda b, r, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, F, 1), lambda b, r, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, F, D3), lambda b, r, *_: (b, 0, 0),
+            pl.BlockSpec((1, f_seg, 128), lambda b, r, s, *_: (b, s, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[img_block] * (1 + 3 + D + 1),
     )
-    dtype = face_vertices_z.dtype
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -451,7 +510,7 @@ def rasterize_interp_pallas(face_vertices_z, face_vertices_image_flat,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(start_c, end_c, row_start[None], fz, img, bb, order[..., None], ff)
+    )(start_s, end_s, row_start[None], tbl)
     face_idx = outs[0]
     weights = jnp.stack(outs[1:4], axis=-1)
     features = jnp.stack(outs[4:4 + D], axis=-1)
@@ -509,29 +568,30 @@ def rasterize_select_pallas(face_vertices_z, face_vertices_image_flat,
 
     start_c, end_c = _band_face_ranges(bb, height, float(multiplier),
                                        row_start, total_height)
+    dtype = face_vertices_z.dtype
+    fp, f_seg, S = _face_seg(F, dtype)
+    start_s, end_s = _segment_ranges(start_c, end_c, S,
+                                     f_seg // FACE_CHUNK)
+    tbl = _pack_face_table(
+        [bb.astype(dtype), img.astype(dtype), fz,
+         order[..., None].astype(dtype)], fp)
 
-    grid = (B, height // TILE_H)
+    grid = (B, height // TILE_H, S)
     kernel = functools.partial(
         _rasterize_kernel, height=height, width=width,
-        total_height=total_height, num_faces=F,
+        total_height=total_height, num_faces=F, num_segs=S, f_seg=f_seg,
         multiplier=float(multiplier), eps=float(eps))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, F, 3), lambda b, r, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, F, 6), lambda b, r, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, F, 4), lambda b, r, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, F, 1), lambda b, r, *_: (b, 0, 0),
+            pl.BlockSpec((1, f_seg, 128), lambda b, r, s, *_: (b, s, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, TILE_H, width), lambda b, r, *_: (b, r, 0),
+            pl.BlockSpec((1, TILE_H, width), lambda b, r, s, *_: (b, r, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_H, width), lambda b, r, *_: (b, r, 0),
+            pl.BlockSpec((1, TILE_H, width), lambda b, r, s, *_: (b, r, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -548,5 +608,5 @@ def rasterize_select_pallas(face_vertices_z, face_vertices_image_flat,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(start_c, end_c, row_start[None], fz, img, bb, order[..., None])
+    )(start_s, end_s, row_start[None], tbl)
     return zbuf, idx

@@ -9,6 +9,13 @@ Cramer-form vertex/feature gradients over the band's pixels (masked to
 pixels the face actually won) and accumulates into revisited per-face
 output blocks — deterministic, no scatters, no atomics.
 
+Per-face data (img verts, ids, features) packs into ONE 128-lane table
+and the gradients into another, both blocked over face segments
+(grid (B, S, bands), bands innermost so each (b, s) grad block is
+revisited consecutively across bands) — VMEM residency is bounded at
+any face count (the round-4 design kept five lane-padded (1, F, k)
+arrays resident, which OOM'd scoped vmem at ShapeNet face counts).
+
 Pixel coordinates never appear: following the reference, the backward
 reconstructs the pixel position from the saved barycentric weights.
 """
@@ -20,13 +27,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .rasterize import _band_face_ranges, FACE_CHUNK, TILE_H
+from .rasterize import (_band_face_ranges, _pack_face_table,
+                        _segment_ranges, FACE_CHUNK, TILE_H, F_SEG)
 
 __all__ = ['rasterize_backward_pallas']
 
 
-def _bwd_kernel(start_ref, end_ref, img_ref, ids_ref, feat_ref, fidx_ref,
-                w_ref, grad_ref, gimg_ref, gfeat_ref, *, num_feats, eps):
+def _bwd_kernel(start_ref, end_ref, tbl_ref, fidx_ref,
+                w_ref, grad_ref, gout_ref, *, num_feats, num_bands, eps):
     """Band-accumulation backward, collapsed to 3*D basis reductions.
 
     The reference's per-pixel gradient table
@@ -46,15 +54,18 @@ def _bwd_kernel(start_ref, end_ref, img_ref, ids_ref, feat_ref, fidx_ref,
     sum won*cw*g_d}`` — the same 3*D sums that already produce the
     feature gradients. The vertex-position gradients then cost only
     (8, k) per-face scalar math on top.
+
+    Table lanes: in [0:6] unscaled img verts, [6] original id,
+    [7:7+3D] features; out [0:6] grad img verts, [6:6+3D] grad feats.
     """
     b = pl.program_id(0)
-    r = pl.program_id(1)
+    s = pl.program_id(1)
+    r = pl.program_id(2)
     D = num_feats
 
     @pl.when(r == 0)
     def _():
-        gimg_ref[...] = jnp.zeros_like(gimg_ref)
-        gfeat_ref[...] = jnp.zeros_like(gfeat_ref)
+        gout_ref[...] = jnp.zeros_like(gout_ref)
 
     fidx = fidx_ref[0, :, :]                       # (th, w) int32
     bw = w_ref[0, 1, :, :]
@@ -65,9 +76,10 @@ def _bwd_kernel(start_ref, end_ref, img_ref, ids_ref, feat_ref, fidx_ref,
 
     def chunk_body(c, _):
         f0 = c * FACE_CHUNK
-        img = img_ref[0, pl.ds(f0, FACE_CHUNK), :]         # (8, 6) unscaled
-        ids = ids_ref[0, pl.ds(f0, FACE_CHUNK), 0]         # (8,)
-        feats = feat_ref[0, pl.ds(f0, FACE_CHUNK), :]      # (8, 3*D)
+        face = tbl_ref[0, pl.ds(f0, FACE_CHUNK), :]        # (8, 128)
+        img = face[:, 0:6]                                 # unscaled
+        ids = face[:, 6].astype(jnp.int32)
+        feats = face[:, 7:7 + 3 * D]
 
         won = fidx[None, :, :] == ids[:, None, None]       # (8, th, w)
         mb = jnp.where(won, bw[None], 0.)
@@ -86,8 +98,8 @@ def _bwd_kernel(start_ref, end_ref, img_ref, ids_ref, feat_ref, fidx_ref,
         fdelta = jnp.concatenate(
             [f0s[d] - fbs[d] - fcs[d] for d in range(D)]
             + fbs + fcs, axis=1)                           # (8, 3*D)
-        gfeat_ref[0, pl.ds(f0, FACE_CHUNK), :] = (
-            gfeat_ref[0, pl.ds(f0, FACE_CHUNK), :] + fdelta)
+        gout_ref[0, pl.ds(f0, FACE_CHUNK), 6:6 + 3 * D] = (
+            gout_ref[0, pl.ds(f0, FACE_CHUNK), 6:6 + 3 * D] + fdelta)
 
         # per-face geometry (all (8, 1))
         ax, ay = img[:, 0][:, None], img[:, 1][:, None]
@@ -133,11 +145,12 @@ def _bwd_kernel(start_ref, end_ref, img_ref, ids_ref, feat_ref, fidx_ref,
         delta = jnp.concatenate(
             [comp_ax, comp_ay, comp_m, comp_p, comp_n, comp_q],
             axis=1) * inv_k3sq                             # (8, 6)
-        gimg_ref[0, pl.ds(f0, FACE_CHUNK), :] = \
-            gimg_ref[0, pl.ds(f0, FACE_CHUNK), :] + delta
+        gout_ref[0, pl.ds(f0, FACE_CHUNK), 0:6] = \
+            gout_ref[0, pl.ds(f0, FACE_CHUNK), 0:6] + delta
         return 0
 
-    jax.lax.fori_loop(start_ref[b, r], end_ref[b, r], chunk_body, 0)
+    jax.lax.fori_loop(start_ref[b, s * num_bands + r],
+                      end_ref[b, s * num_bands + r], chunk_body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=('height', 'width',
@@ -165,6 +178,7 @@ def rasterize_backward_pallas(grad_interpolated, face_idx, weights,
     D = face_features.shape[-1]
     dtype = face_vertices_image.dtype
     assert height % TILE_H == 0 and width % 128 == 0, (height, width)
+    assert 7 + 3 * D <= 128, f'feat_dim {D} too wide for the face table'
     if total_height is None:
         total_height = height
     row_start = jnp.asarray(row_start, jnp.int32)
@@ -196,49 +210,61 @@ def rasterize_backward_pallas(grad_interpolated, face_idx, weights,
     start_c, end_c = _band_face_ranges(bb_s, height, float(multiplier),
                                        row_start, total_height)
 
+    # face segmentation: the grad table doubles the resident face bytes,
+    # so halve the fwd kernel's segment budget
+    f_seg_cap = max(FACE_CHUNK,
+                    (F_SEG // 2) if jnp.dtype(dtype).itemsize <= 4
+                    else F_SEG // 4)
+    if Fp <= f_seg_cap:
+        fp, f_seg, S = Fp, Fp, 1
+    else:
+        fp = F + ((-F) % f_seg_cap)
+        f_seg, S = f_seg_cap, fp // f_seg_cap
+    n_bands = height // TILE_H
+    ls, le = _segment_ranges(start_c, end_c, S, f_seg // FACE_CHUNK)
+    # bands-innermost layout: (B, nb*S) r-major -> (B, S*nb) s-major
+    ls = ls.reshape(B, n_bands, S).transpose(0, 2, 1).reshape(B, -1)
+    le = le.reshape(B, n_bands, S).transpose(0, 2, 1).reshape(B, -1)
+    # ids ride the table as dtype values (< 2**24 exact in f32)
+    tbl = _pack_face_table(
+        [img_s, order[..., None].astype(dtype), feat_s], fp)
+
     grad_t = jnp.transpose(grad_interpolated, (0, 3, 1, 2))   # (B, D, H, W)
     w_t = jnp.transpose(weights, (0, 3, 1, 2))                # (B, 3, H, W)
 
-    kernel = functools.partial(_bwd_kernel, num_feats=D, eps=float(eps))
+    kernel = functools.partial(_bwd_kernel, num_feats=D,
+                               num_bands=n_bands, eps=float(eps))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, height // TILE_H),
+        grid=(B, S, n_bands),
         in_specs=[
-            pl.BlockSpec((1, Fp, 6), lambda b, r, *_: (b, 0, 0),
+            pl.BlockSpec((1, f_seg, 128), lambda b, s, r, *_: (b, s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Fp, 1), lambda b, r, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Fp, 3 * D), lambda b, r, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_H, width), lambda b, r, *_: (b, r, 0),
+            pl.BlockSpec((1, TILE_H, width), lambda b, s, r, *_: (b, r, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, TILE_H, width),
-                         lambda b, r, *_: (b, 0, r, 0),
+                         lambda b, s, r, *_: (b, 0, r, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D, TILE_H, width),
-                         lambda b, r, *_: (b, 0, r, 0),
+                         lambda b, s, r, *_: (b, 0, r, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, Fp, 6), lambda b, r, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Fp, 3 * D), lambda b, r, *_: (b, 0, 0),
+            pl.BlockSpec((1, f_seg, 128), lambda b, s, r, *_: (b, s, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
-    gimg_s, gfeat_s = pl.pallas_call(
+    gout = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((B, Fp, 6), dtype),
-            jax.ShapeDtypeStruct((B, Fp, 3 * D), dtype),
-        ],
+        out_shape=[jax.ShapeDtypeStruct((B, fp, 128), dtype)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('arbitrary', 'arbitrary')),
+            dimension_semantics=('arbitrary', 'arbitrary', 'arbitrary')),
         interpret=interpret,
-    )(start_c, end_c, img_s, order[..., None], feat_s, face_idx, w_t,
-      grad_t)
+    )(ls, le, tbl, face_idx, w_t, grad_t)[0]
 
+    gimg_s = gout[:, :Fp, 0:6]
+    gfeat_s = gout[:, :Fp, 6:6 + 3 * D]
     inv = jnp.argsort(order, axis=1)
     gimg = jnp.take_along_axis(gimg_s, inv[..., None], axis=1)[:, :F]
     gfeat = jnp.take_along_axis(gfeat_s, inv[..., None], axis=1)[:, :F]

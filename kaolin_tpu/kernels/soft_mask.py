@@ -34,7 +34,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .rasterize import _tile_face_ranges, FACE_CHUNK, TILE_H, CT_W
+from .rasterize import (_tile_face_ranges, _pack_face_table,
+                        FACE_CHUNK, TILE_H, CT_W, F_SEG)
 
 __all__ = ['soft_mask_forward_pallas', 'soft_mask_backward_pallas']
 
@@ -122,29 +123,46 @@ def _hit_and_recorded(px, py, bbox, valid, uncovered, count, knum):
     return hit, recorded, count + cum[FACE_CHUNK - 1]
 
 
-def _face_mask(meta_ref, f0, seg, li, t):
+def _face_mask(face, seg, li, t):
     """(8, 1, 1) mask selecting faces of segment ``seg``; the neighbor
-    loop (li == 1) additionally requires the face to reach tile ``t``."""
-    segf = meta_ref[0, pl.ds(f0, FACE_CHUNK), 1]
+    loop (li == 1) additionally requires the face to reach tile ``t``.
+    ``face``: the chunk's (8, 128) packed table rows (lane 26 = tile
+    segment, lane 27 = tmax; stored as dtype, exact below 2**24)."""
+    segf = face[:, 26].astype(jnp.int32)
     ok = segf == seg
     if li == 1:
-        ok = ok & (meta_ref[0, pl.ds(f0, FACE_CHUNK), 2] >= t)
+        ok = ok & (face[:, 27].astype(jnp.int32) >= t)
     return ok[:, None, None]
 
 
-def _sm_fwd_kernel(start_ref, end_ref, roff_ref, img_ref, ec_ref, bbox_ref,
-                   meta_ref, fidx_ref, mask_ref, *, height, width, total_height, knum,
-                   sigmainv, multiplier):
+def _sm_fwd_kernel(start_ref, end_ref, roff_ref, tbl_ref,
+                   fidx_ref, mask_ref, *, height, width, total_height,
+                   knum, sigmainv, multiplier, num_segs):
+    """Packed face-table lanes: [0:6] scaled img verts, [6:22] edge
+    constants, [22:26] enlarged bbox, [26] tile segment, [27] tmax.
+    ``mask_ref`` carries the running (1 - prob) product across the face
+    segments (grid dim 2, innermost: the block is revisited
+    consecutively) and converts to the mask after the last segment.
+    ``knum`` truncation counts reset per face segment — identical to
+    the single-segment kernel whenever a pixel has fewer than knum
+    bbox-hits per segment (the regime the reference documents as
+    correct); when binding, MORE terms are recorded (closer to the
+    un-truncated mask), and fwd/bwd use the same rule."""
     b = pl.program_id(0)
     r = pl.program_id(1)
+    sseg = pl.program_id(2)
     n_ct = width // CT_W
-    dtype = img_ref.dtype
+    dtype = mask_ref.dtype
     H = total_height
     row = (roff_ref[0] + r * TILE_H
            + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, CT_W), 0))
     py = (multiplier / H) * (H - 2 * row - 1).astype(dtype)
     col0 = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, CT_W), 1)
     zscale = sigmainv / multiplier / multiplier
+
+    @pl.when(sseg == 0)
+    def _():
+        mask_ref[...] = jnp.ones_like(mask_ref)
 
     for t in range(n_ct):
         px = (multiplier / width) * (
@@ -154,12 +172,13 @@ def _sm_fwd_kernel(start_ref, end_ref, roff_ref, img_ref, ec_ref, bbox_ref,
         def chunk_body(c, carry, seg, li, px=px, uncovered=uncovered, t=t):
             count, prod = carry
             f0 = c * FACE_CHUNK
-            bbox = bbox_ref[0, pl.ds(f0, FACE_CHUNK), :]
-            img = img_ref[0, pl.ds(f0, FACE_CHUNK), :]
-            valid = _face_mask(meta_ref, f0, seg, li, t)
+            face = tbl_ref[0, pl.ds(f0, FACE_CHUNK), :]
+            img = face[:, 0:6]
+            econst = face[:, 6:22]
+            bbox = face[:, 22:26]
+            valid = _face_mask(face, seg, li, t)
             _, recorded, count = _hit_and_recorded(
                 px, py, bbox, valid, uncovered, count, knum)
-            econst = ec_ref[0, pl.ds(f0, FACE_CHUNK), :]
             dissquare, _, _ = _chunk_distances(px, py, img, econst,
                                                multiplier)
             z = dissquare * zscale
@@ -176,22 +195,33 @@ def _sm_fwd_kernel(start_ref, end_ref, roff_ref, img_ref, ec_ref, bbox_ref,
         segs = [(0, t), (2, n_ct)] if t == 0 else \
             [(0, t), (1, t - 1), (2, n_ct)]
         for li, seg in segs:
-            idx = (r * n_ct + t) * 3 + li
+            idx = ((r * n_ct + t) * 3 + li) * num_segs + sseg
             carry = jax.lax.fori_loop(
                 start_ref[b, idx], end_ref[b, idx],
                 functools.partial(chunk_body, seg=seg, li=li), carry)
         _, prod = carry
-        mask_ref[0, :, t * CT_W:(t + 1) * CT_W] = jnp.where(
-            uncovered, 1. - prod, jnp.asarray(1.0, dtype))
+        sl = slice(t * CT_W, (t + 1) * CT_W)
+        mask_ref[0, :, sl] = mask_ref[0, :, sl] * prod
+
+    @pl.when(sseg == num_segs - 1)
+    def _():
+        uncov = fidx_ref[0, :, :] < 0
+        mask_ref[0, :, :] = jnp.where(uncov, 1. - mask_ref[0, :, :],
+                                      jnp.asarray(1.0, dtype))
 
 
-def _sm_bwd_kernel(start_ref, end_ref, roff_ref, img_ref, ec_ref, bbox_ref,
-                   meta_ref, fidx_ref, mask_ref, grad_in_ref, grad_ref, *, height,
-                   width, total_height, knum, sigmainv, multiplier):
+def _sm_bwd_kernel(start_ref, end_ref, roff_ref, tbl_ref,
+                   fidx_ref, mask_ref, grad_in_ref, grad_ref, *, height,
+                   width, total_height, knum, sigmainv, multiplier,
+                   num_segs, num_bands):
+    """Grid (B, S, bands), bands innermost: the (1, f_seg, 6) per-face
+    grad block is revisited consecutively across bands and accumulates
+    in VMEM. knum counts reset per face segment, mirroring the fwd."""
     b = pl.program_id(0)
-    r = pl.program_id(1)
+    sseg = pl.program_id(1)
+    r = pl.program_id(2)
     n_ct = width // CT_W
-    dtype = img_ref.dtype
+    dtype = grad_ref.dtype
     H = total_height
     row = (roff_ref[0] + r * TILE_H
            + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, CT_W), 0))
@@ -209,12 +239,13 @@ def _sm_bwd_kernel(start_ref, end_ref, roff_ref, img_ref, ec_ref, bbox_ref,
 
       def chunk_body(c, count, seg, li):
         f0 = c * FACE_CHUNK
-        bbox = bbox_ref[0, pl.ds(f0, FACE_CHUNK), :]
-        img = img_ref[0, pl.ds(f0, FACE_CHUNK), :]
-        valid = _face_mask(meta_ref, f0, seg, li, t)
+        face = tbl_ref[0, pl.ds(f0, FACE_CHUNK), :]
+        img = face[:, 0:6]
+        econst = face[:, 6:22]
+        bbox = face[:, 22:26]
+        valid = _face_mask(face, seg, li, t)
         _, recorded, count = _hit_and_recorded(
             px, py, bbox, valid, uncovered, count, knum)
-        econst = ec_ref[0, pl.ds(f0, FACE_CHUNK), :]
         dissquare, edgeid, edge_terms = _chunk_distances(px, py, img, econst,
                                                          multiplier)
         prob = jnp.exp(-(dissquare * zscale))
@@ -279,7 +310,7 @@ def _sm_bwd_kernel(start_ref, end_ref, roff_ref, img_ref, ec_ref, bbox_ref,
       segs = [(0, t), (2, n_ct)] if t == 0 else \
           [(0, t), (1, t - 1), (2, n_ct)]
       for li, seg in segs:
-          idx = (r * n_ct + t) * 3 + li
+          idx = ((r * n_ct + t) * 3 + li) * num_segs + sseg
           count = jax.lax.fori_loop(
               start_ref[b, idx], end_ref[b, idx],
               functools.partial(chunk_body, seg=seg, li=li), count)
@@ -328,9 +359,39 @@ def _clamp_ranges(start_all, end_all, active):
     return jnp.where(active[..., None], end_all, start_all)
 
 
+def _soft_mask_seg(F, dtype, bwd=False):
+    """(padded face count, faces per segment, num segments) for the
+    packed soft-mask table; the bwd halves the budget (its per-face
+    grad output block doubles the resident face bytes)."""
+    cap = F_SEG if jnp.dtype(dtype).itemsize <= 4 else F_SEG // 2
+    if bwd:
+        cap //= 2
+    cap = max(cap, FACE_CHUNK)
+    fp = F + ((-F) % FACE_CHUNK)
+    if fp <= cap:
+        return fp, fp, 1
+    fp = F + ((-F) % cap)
+    return fp, cap, fp // cap
+
+
+def _seg_ranges_tiled(start_all, end_all, S, c_seg):
+    """(B, nb, n_ct, 3) global chunk ranges -> block-local per segment,
+    flattened (B, nb * n_ct * 3 * S): idx = ((r*n_ct+t)*3+li)*S + s."""
+    s_off = jnp.arange(S, dtype=jnp.int32) * c_seg
+    ls = jnp.clip(start_all[..., None] - s_off, 0, c_seg)
+    le = jnp.clip(end_all[..., None] - s_off, 0, c_seg)
+    le = jnp.maximum(le, ls)
+    B = start_all.shape[0]
+    return ls.reshape(B, -1).astype(jnp.int32), \
+        le.reshape(B, -1).astype(jnp.int32)
+
+
 def _prep(img_scaled, bboxes, height, width, multiplier, row_start,
-          total_height):
-    """Pads to FACE_CHUNK, column-tile sorts, per-(band, tile) ranges."""
+          total_height, fp):
+    """Pads to FACE_CHUNK, column-tile sorts, per-(band, tile) ranges,
+    and packs the sorted per-face data into one (B, fp, 128) table
+    (lanes [0:6] img, [6:22] edge constants, [22:26] bbox, [26] tile
+    segment, [27] tmax)."""
     B, F, _ = img_scaled.shape
     pad = (-F) % FACE_CHUNK
     if pad:
@@ -344,8 +405,11 @@ def _prep(img_scaled, bboxes, height, width, multiplier, row_start,
         bboxes, height, width, float(multiplier), row_start, total_height)
     img_s = jnp.take_along_axis(img_scaled, order[..., None], axis=1)
     bb_s = jnp.take_along_axis(bboxes, order[..., None], axis=1)
-    return img_s, _edge_constants(img_s), bb_s, order, meta_s, start_all, \
-        end_all
+    dtype = img_s.dtype
+    tbl = _pack_face_table(
+        [img_s, _edge_constants(img_s)[..., :16], bb_s,
+         meta_s[..., 1:3].astype(dtype)], fp)
+    return tbl, order, start_all, end_all
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -362,35 +426,32 @@ def soft_mask_forward_pallas(img_scaled, bboxes, selected_face_idx,
     if total_height is None:
         total_height = height
     row_start = jnp.asarray(row_start, jnp.int32)
-    img_s, ec_s, bb_s, _, meta_s, start_all, end_all = _prep(
+    fp, f_seg, S = _soft_mask_seg(F, img_scaled.dtype)
+    tbl, _, start_all, end_all = _prep(
         img_scaled, bboxes, height, width, multiplier, row_start,
-        total_height)
+        total_height, fp)
     # covered pixels output exactly 1: skip fully-covered tiles
     end_all = _clamp_ranges(
         start_all, end_all,
         _active_tiles(selected_face_idx < 0, height, width))
-    Fp = img_s.shape[1]
+    ls, le = _seg_ranges_tiled(start_all, end_all, S,
+                               f_seg // FACE_CHUNK)
     kernel = functools.partial(
         _sm_fwd_kernel, height=height, width=width,
         total_height=total_height, knum=int(knum),
-        sigmainv=float(sigmainv), multiplier=float(multiplier))
+        sigmainv=float(sigmainv), multiplier=float(multiplier),
+        num_segs=S)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(B, height // TILE_H),
+        grid=(B, height // TILE_H, S),
         in_specs=[
-            pl.BlockSpec((1, Fp, 6), lambda b, r, *_: (b, 0, 0),
+            pl.BlockSpec((1, f_seg, 128), lambda b, r, sg, *_: (b, sg, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Fp, 16), lambda b, r, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Fp, 4), lambda b, r, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Fp, 3), lambda b, r, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_H, width), lambda b, r, *_: (b, r, 0),
+            pl.BlockSpec((1, TILE_H, width), lambda b, r, sg, *_: (b, r, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, TILE_H, width),
-                               lambda b, r, *_: (b, r, 0),
+                               lambda b, r, sg, *_: (b, r, 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
@@ -398,8 +459,7 @@ def soft_mask_forward_pallas(img_scaled, bboxes, selected_face_idx,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, height, width), img_scaled.dtype),
         interpret=interpret,
-    )(start_all.reshape(B, -1), end_all.reshape(B, -1), row_start[None],
-      img_s, ec_s, bb_s, meta_s, selected_face_idx)
+    )(ls, le, row_start[None], tbl, selected_face_idx)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -416,52 +476,51 @@ def soft_mask_backward_pallas(img_scaled, bboxes, selected_face_idx,
     if total_height is None:
         total_height = height
     row_start = jnp.asarray(row_start, jnp.int32)
-    img_s, ec_s, bb_s, order, meta_s, start_all, end_all = _prep(
+    fp, f_seg, S = _soft_mask_seg(F, img_scaled.dtype, bwd=True)
+    tbl, order, start_all, end_all = _prep(
         img_scaled, bboxes, height, width, multiplier, row_start,
-        total_height)
+        total_height, fp)
     # only uncovered pixels with nonzero incoming grad contribute
     end_all = _clamp_ranges(
         start_all, end_all,
         _active_tiles((selected_face_idx < 0) & (grad_soft_mask != 0.),
                       height, width))
-    Fp = img_s.shape[1]
+    ls, le = _seg_ranges_tiled(start_all, end_all, S,
+                               f_seg // FACE_CHUNK)
+    n_bands = height // TILE_H
     kernel = functools.partial(
         _sm_bwd_kernel, height=height, width=width,
         total_height=total_height, knum=int(knum),
-        sigmainv=float(sigmainv), multiplier=float(multiplier))
+        sigmainv=float(sigmainv), multiplier=float(multiplier),
+        num_segs=S, num_bands=n_bands)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(B, height // TILE_H),
+        grid=(B, S, n_bands),
         in_specs=[
-            pl.BlockSpec((1, Fp, 6), lambda b, r, *_: (b, 0, 0),
+            pl.BlockSpec((1, f_seg, 128), lambda b, sg, r, *_: (b, sg, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Fp, 16), lambda b, r, *_: (b, 0, 0),
+            pl.BlockSpec((1, TILE_H, width), lambda b, sg, r, *_: (b, r, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Fp, 4), lambda b, r, *_: (b, 0, 0),
+            pl.BlockSpec((1, TILE_H, width), lambda b, sg, r, *_: (b, r, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Fp, 3), lambda b, r, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_H, width), lambda b, r, *_: (b, r, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_H, width), lambda b, r, *_: (b, r, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_H, width), lambda b, r, *_: (b, r, 0),
+            pl.BlockSpec((1, TILE_H, width), lambda b, sg, r, *_: (b, r, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, Fp, 6), lambda b, r, *_: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, f_seg, 6), lambda b, sg, r, *_:
+                               (b, sg, 0),
                                memory_space=pltpu.VMEM),
     )
     grad_sorted = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Fp, 6), img_scaled.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, fp, 6), img_scaled.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('arbitrary', 'arbitrary')),
+            dimension_semantics=('arbitrary', 'arbitrary', 'arbitrary')),
         interpret=interpret,
-    )(start_all.reshape(B, -1), end_all.reshape(B, -1), row_start[None],
-      img_s, ec_s, bb_s, meta_s, selected_face_idx, soft_mask,
+    )(ls, le, row_start[None], tbl, selected_face_idx, soft_mask,
       grad_soft_mask)
     # unsort back to original face order, drop padding
     inv = jnp.argsort(order, axis=1)
-    grad = jnp.take_along_axis(grad_sorted, inv[..., None], axis=1)
+    Fp = F + ((-F) % FACE_CHUNK)
+    grad = jnp.take_along_axis(grad_sorted[:, :Fp], inv[..., None], axis=1)
     return grad[:, :F]

@@ -676,7 +676,8 @@ def _cc_kernel_body(l, last, with_exit, ray_fn_cols, ray_refs, cap_rows,
                     pidx_ref, ridx_ref, khi_ref, klo_ref,
                     tbl_a, tbl_b, tbl_c,
                     out_refs, meta_ref, stage_refs, cursor_ref, sems,
-                    rstep=RSTEP, emit_rays=False):
+                    rstep=RSTEP, emit_rays=False,
+                    merge_rots=(1, 37, 77), merge_lo=2):
     i = pl.program_id(0)
     f32 = jnp.float32
     dt = f32
@@ -818,9 +819,9 @@ def _cc_kernel_body(l, last, with_exit, ray_fn_cols, ray_refs, cap_rows,
             back = pltpu.roll(w.astype(jnp.int32), LANES - rot, 1) > 0
             planes[hi]['pidx'] = jnp.where(back, -1, planes[hi]['pidx'])
 
-        for rot in (1, 37, 77):
+        for rot in merge_rots:
             for hi in range(7, 0, -1):
-                for lo in range(min(hi, 2)):
+                for lo in range(min(hi, merge_lo)):
                     merge(hi, lo, rot + hi + lo)
 
         # ---- row-granular compaction positions --------------------------
@@ -893,7 +894,8 @@ def _cc_kernel_body(l, last, with_exit, ray_fn_cols, ray_refs, cap_rows,
 
 
 def _cc_level_call(l, steps, last, with_exit, ray_fn_cols, npad, cap_rows,
-                   interpret=False, rstep=RSTEP, emit_rays=False):
+                   interpret=False, rstep=RSTEP, emit_rays=False,
+                   merge_rots=(1, 37, 77), merge_lo=2):
     """pallas_call for one cursor-compaction traversal level."""
     xla_rays = ray_fn_cols is None
     i32 = jnp.int32
@@ -930,7 +932,7 @@ def _cc_level_call(l, steps, last, with_exit, ray_fn_cols, npad, cap_rows,
                         pidx_ref, ridx_ref, khi_ref, klo_ref,
                         tbl_a, tbl_b, tbl_c,
                         out_refs, meta_ref, stage_refs, cursor_ref, sems,
-                        rstep, emit_rays)
+                        rstep, emit_rays, merge_rots, merge_lo)
 
     frontier_spec = pl.BlockSpec((rstep, LANES), lambda i, *_: (i, 0),
                                  memory_space=pltpu.VMEM)
@@ -956,7 +958,7 @@ def _cc_level_call(l, steps, last, with_exit, ray_fn_cols, npad, cap_rows,
             pl.BlockSpec((8, W_BLK), tbl_map_b, memory_space=pltpu.VMEM),
             pl.BlockSpec((8, W_BLK), tbl_map_c, memory_space=pltpu.VMEM),
         ],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * nfields + [
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * nfields + [
             pl.BlockSpec(memory_space=pltpu.SMEM)],
         scratch_shapes=stage_types + [pltpu.SMEM((1, 1), i32)] + [
             pltpu.SemaphoreType.DMA] * nfields,
@@ -980,7 +982,8 @@ def traverse_banded_cc(tbl_t, num_rays, level, schedule, ray_fn_cols=None,
                        return_rows=False, level_offsets=None,
                        margin_dense=1.2, raw_factor=6, raw_rows=None,
                        max_sortfree_chain=3, rstep=RSTEP,
-                       carry_rays=None):
+                       carry_rays=None, merge_rots=(1, 37, 77),
+                       merge_lo=2):
     """Full SPC traversal with in-kernel cursor compaction.
 
     Hybrid sort policy: in-kernel cursor compaction removes the 8x
@@ -1125,7 +1128,8 @@ def traverse_banded_cc(tbl_t, num_rays, level, schedule, ray_fn_cols=None,
                                   rows_in * 8))
         call = _cc_level_call(l, steps, last, with_exit, ray_fn_cols,
                               npad, cap_rows, interpret, rstep,
-                              emit_rays=carry)
+                              emit_rays=carry, merge_rots=merge_rots,
+                              merge_lo=merge_lo)
         if carry:
             iv = [1.0 / rays_c[3 + a] for a in range(3)]
             outs = call(active, wblk, cbase, cnum, pidx, ridx, khi, klo,

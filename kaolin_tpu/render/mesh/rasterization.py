@@ -143,10 +143,12 @@ def _rasterize_fwd_impl(height, width, multiplier, eps, backend,
                            jnp.stack([inf, inf, -inf, -inf])[None, None, :])
 
     feat_dim = face_features.shape[-1]
-    # the fused kernel keeps (F, 3*feat_dim) features resident in VMEM;
-    # fall back to select + gather epilogue when they would not fit
-    fused_ok = (F * (15 + 3 * feat_dim) * 4 <= 8 * 2 ** 20
-                and 3 * feat_dim <= 256)
+    # VMEM residency is bounded at any face count since the per-face
+    # constants pack into one 128-lane table blocked over face segments
+    # (kernels/rasterize.py F_SEG); the fused kernel only needs the
+    # features to FIT the table's lanes — fall back to select + gather
+    # epilogue for very wide features
+    fused_ok = 14 + 3 * feat_dim <= 128
     if backend in ('pallas', 'pallas_interpret') and fused_ok:
         from ...kernels.rasterize import rasterize_interp_pallas
         interpolated, face_idx, weights = rasterize_interp_pallas(

@@ -174,7 +174,10 @@ def _banded_viable(level, cap_schedule, level_offsets, num_rays):
     cursor-compaction banded kernel beats the XLA path once a probe
     schedule exists (13.46 vs 26.6 ms at 256^2/L8 — see BASELINE.md);
     without a schedule its worst-case buffers are unusable, and below a
-    few thousand rays the fixed per-call cost dominates."""
+    few thousand rays the fixed per-call cost dominates. Ray mode needs
+    no gating since round 5: origin/direction ARRAYS ride the
+    carried-plane kernel mode (63.95 vs 166.2 ms XLA at 512^2/L10) and
+    ray_fn the streamed mode (38.5 ms) — banded wins in both."""
     return (cap_schedule is not None and level_offsets is not None
             and 1 <= level <= 10 and num_rays >= 4096
             and jax.default_backend() == 'tpu')

@@ -80,9 +80,9 @@ def test_cosine_lobe_sg_approximates_clamped_cosine():
     np.testing.assert_allclose(integral, np.pi, rtol=0.12)
     # peaks along the normal, falls off away from it
     up = sg_eval(np.asarray([[0., 0., 1.]]), np.asarray(amp).reshape(-1),
-                 np.asarray(mu).reshape(3), float(np.asarray(sharp)))
+                 np.asarray(mu).reshape(3), float(np.asarray(sharp).reshape(-1)[0]))
     side = sg_eval(np.asarray([[1., 0., 0.]]), np.asarray(amp).reshape(-1),
-                   np.asarray(mu).reshape(3), float(np.asarray(sharp)))
+                   np.asarray(mu).reshape(3), float(np.asarray(sharp).reshape(-1)[0]))
     assert (up > side).all()
 
 

@@ -215,3 +215,44 @@ def test_pallas_backward_matches_xla(simple_inputs):
                                rtol=1e-6, atol=1e-9)
     np.testing.assert_allclose(np.asarray(gx[1]), np.asarray(gp[1]),
                                rtol=1e-6, atol=1e-9)
+
+
+def test_pallas_face_segments_match_xla(monkeypatch):
+    """Face counts beyond F_SEG stream the packed face table through the
+    kernel in segments (the 20k-face ShapeNet scale VMEM fix): force
+    S > 1 with a tiny F_SEG and check bit-parity with the XLA backend,
+    fwd + bwd."""
+    from kaolin_tpu.kernels import rasterize as rast_mod
+    from kaolin_tpu.kernels import rasterize_bwd as rast_bwd_mod
+    monkeypatch.setattr(rast_mod, 'F_SEG', 64)
+    monkeypatch.setattr(rast_bwd_mod, 'F_SEG', 64)
+    rng = np.random.default_rng(7)
+    F = 200                      # -> 4 segments of 64 (padded 256)
+    fvi = jnp.asarray(rng.uniform(-0.8, 0.8, (1, F, 1, 2))
+                      + rng.uniform(-0.25, 0.25, (1, F, 3, 2)),
+                      jnp.float32)
+    fvz = jnp.asarray(-(rng.uniform(1.5, 3.0, (1, F, 1))
+                        * np.ones((1, 1, 3))), jnp.float32)
+    ff = jnp.asarray(rng.normal(size=(1, F, 3, 2)), jnp.float32)
+
+    feat_x, idx_x = rasterize(16, 128, fvz, fvi, ff, backend='xla')
+    feat_p, idx_p = rasterize(16, 128, fvz, fvi, ff,
+                              backend='pallas_interpret')
+    assert int(jnp.sum(idx_x >= 0)) > 50       # plenty of coverage
+    np.testing.assert_array_equal(np.asarray(idx_x), np.asarray(idx_p))
+    np.testing.assert_allclose(np.asarray(feat_x), np.asarray(feat_p),
+                               rtol=1e-6, atol=1e-6)
+
+    def loss(backend):
+        def f(fvi, ff):
+            feat, _ = rasterize(16, 128, fvz, fvi, ff, backend=backend)
+            return jnp.sum(feat ** 2)
+        return f
+    gx = jax.grad(loss('xla'), argnums=(0, 1))(fvi, ff)
+    gp = jax.grad(loss('pallas_interpret'), argnums=(0, 1))(fvi, ff)
+    # fwd is bit-exact; bwd sums hundreds of per-pixel contributions in
+    # a different order (per-band sequential vs segment_sum) -> f32
+    # accumulation noise (measured max rel ~6e-6 at this scale)
+    for a, b in zip(gx, gp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
