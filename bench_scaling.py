@@ -109,6 +109,9 @@ def main():
             base = rate
         rec = {'devices': n, 'workload': args.workload,
                unit: round(rate, 3)}
+        if args.workload == 'raytrace':
+            rec.update(backend=args.rt_backend, res=args.res,
+                       level=args.level)
         if on_cpu:
             # virtual devices time-share one host CPU: per-chip
             # efficiency is meaningless; report total throughput vs the
