@@ -975,7 +975,7 @@ def _cc_level_call(l, steps, last, with_exit, ray_fn_cols, npad, cap_rows,
     'num_rays', 'level', 'schedule', 'with_exit', 'ray_fn_cols',
     'ray_fn', 'interpret', 'return_rows', 'level_offsets',
     'margin_dense', 'raw_factor', 'raw_rows', 'max_sortfree_chain',
-    'rstep', 'carry_rays'))
+    'rstep', 'carry_rays', 'merge_rots', 'merge_lo'))
 def traverse_banded_cc(tbl_t, num_rays, level, schedule, ray_fn_cols=None,
                        ray_fn=None, origin=None, direction=None,
                        with_exit=False, interpret=False,
