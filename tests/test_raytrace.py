@@ -594,3 +594,57 @@ def test_raytrace_banded_public_api(sphere_spc):
                                            o, d, level, backend='banded')
     assert np.array_equal(np.asarray(ridx), np.asarray(a[0][:n]))
     assert np.array_equal(np.asarray(pidx), np.asarray(a[1][:n]))
+
+
+def test_eager_schedule_cache(monkeypatch, sphere_spc):
+    """The eager wrapper's probe-schedule cache (round 5): repeated
+    banded calls on the same scene probe once; an overflowing schedule
+    falls back to XLA and evicts the entry."""
+    import kaolin_tpu.render.spc.raytrace as rt
+    octree, ph, pyramid, exsum, _ = sphere_spc
+    level = 3
+    o, d = rt.generate_primary_rays(8, 8, jnp.asarray([0., 0., 2.5]),
+                                    jnp.zeros(3), jnp.asarray([0., 1., 0.]),
+                                    jnp.pi / 3)
+    calls = {'n': 0}
+    real_plan = rt.plan_raytrace
+
+    def counting_plan(*a, **kw):
+        calls['n'] += 1
+        return real_plan(*a, **kw)
+
+    monkeypatch.setattr(rt, 'plan_raytrace', counting_plan)
+    rt._EAGER_SCHED_CACHE.clear()
+    ref = rt.unbatched_raytrace(octree, ph, pyramid, exsum, o, d, level,
+                                backend='xla')
+    out1 = rt.unbatched_raytrace(octree, ph, pyramid, exsum, o, d, level,
+                                 backend='banded')
+    assert calls['n'] == 1 and len(rt._EAGER_SCHED_CACHE) == 1
+    out2 = rt.unbatched_raytrace(octree, ph, pyramid, exsum, o, d, level,
+                                 backend='banded')
+    assert calls['n'] == 1, 'second call must hit the schedule cache'
+    for a, b in zip(ref, out2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-6, rtol=0)
+    np.testing.assert_array_equal(np.asarray(out1[0]), np.asarray(out2[0]))
+
+    # simulated banded overflow -> XLA fallback + cache eviction (tiny
+    # scenes cannot overflow for real: per-level caps floor at rstep
+    # rows, which already covers this scene)
+    key = next(iter(rt._EAGER_SCHED_CACHE))
+    real_fixed = rt.unbatched_raytrace_fixed
+
+    def overflowing_fixed(*a, backend='auto', **kw):
+        out = real_fixed(*a, backend=backend, **kw)
+        if backend == 'banded':
+            cap = a[6] if len(a) > 6 else kw['cap']
+            return out[:3] + (jnp.asarray(cap + 1, jnp.int32),)
+        return out
+
+    monkeypatch.setattr(rt, 'unbatched_raytrace_fixed', overflowing_fixed)
+    out3 = rt.unbatched_raytrace(octree, ph, pyramid, exsum, o, d, level,
+                                 backend='banded')
+    assert key not in rt._EAGER_SCHED_CACHE, 'overflow must evict'
+    for a, b in zip(ref, out3):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-6, rtol=0)
