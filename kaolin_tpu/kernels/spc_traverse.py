@@ -859,17 +859,20 @@ def _cc_kernel_body(l, last, with_exit, ray_fn_cols, ray_refs, cap_rows,
 
         used_f = jnp.sum(cnt8)
         io0 = jax.lax.broadcasted_iota(jnp.int32, (rstep * 8, rstep), 0)
-        f32_fields = {}
-        for nm in names:
-            f32_fields[nm] = [planes[s][nm].astype(f32) for s in range(8)]
-        outs = {nm: jnp.zeros((rstep * 8, LANES), f32) for nm in names}
+        # ONE wide one-hot dot per octant: all fields concatenated along
+        # lanes share the slot-plane's scatter matrix (identical math to
+        # per-field dots — each output element is still v*1 + zeros —
+        # with nfields-x fewer MXU issues per step)
+        outs_c = jnp.zeros((rstep * 8, len(names) * LANES), f32)
         for s in range(8):
             st = ((io0 == posr[s:s + 1].astype(jnp.int32))
                   & (vr[s:s + 1] > 0.5)).astype(f32)         # (256, RSTEP)
-            for nm in names:
-                outs[nm] = outs[nm] + jax.lax.dot(
-                    st, f32_fields[nm][s],
-                    precision=jax.lax.Precision.HIGHEST)
+            fc = jnp.concatenate(
+                [planes[s][nm].astype(f32) for nm in names], axis=1)
+            outs_c = outs_c + jax.lax.dot(
+                st, fc, precision=jax.lax.Precision.HIGHEST)
+        outs = {nm: outs_c[:, i * LANES:(i + 1) * LANES]
+                for i, nm in enumerate(names)}
 
         for nm, stage in zip(names, stage_refs):
             if nm in ('ent', 'ext', 'ox', 'oy', 'oz', 'dx', 'dy', 'dz'):
