@@ -23,9 +23,13 @@ The z-test carries the ORIGINAL face index and breaks z-ties toward the
 lowest original index, so results are bit-identical to the sequential CUDA
 scan order (``rasterization_cuda.cu:162-169``) regardless of the sort.
 
-The kernel only selects the winning face and its depth; barycentric weights
-and feature interpolation run as fused XLA epilogue ops outside (see
-``kaolin_tpu/render/mesh/rasterization.py``).
+Two kernels share the loop: ``rasterize_select_pallas`` (winner face +
+depth only; weights/features via an XLA gather epilogue) and the fused
+``rasterize_interp_pallas`` (winner + barycentric weights + interpolated
+features selected in-register at chunk time). Per-face constants live in
+ONE packed 128-lane table per kernel, blocked over face segments past
+F_SEG so VMEM stays bounded at any face count (see the constants below);
+``rasterize_bwd.py`` mirrors the layout for the analytic backward.
 """
 
 import functools
